@@ -1,0 +1,170 @@
+"""Vector-quantization primitives: nearest-code lookup, EMA codebook update,
+soft code distributions.
+
+Functional TPU re-design of the reference quantizers
+(`hqvae/models/stage1/modules/quantizer.py:15-186`):
+
+* the L2 nearest-code search is one [N, D] x [D, K] MXU matmul fused with an
+  argmin (Pallas kernel over codebook tiles when enabled, XLA fallback);
+* the EMA statistics update is a pure state-in/state-out function whose
+  cross-device reduction is an optional `lax.psum` over a named mesh axis —
+  replacing the reference's unconditional `torch.distributed.all_reduce`
+  (`quantizer.py:111-112`) that crashes single-process training;
+* dead-code restart draws the replacement vectors from a shared PRNG key, so
+  every data-parallel replica computes the same restart deterministically and
+  the reference's rank-0 broadcast (`quantizer.py:126-127`) is unnecessary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EMAState(NamedTuple):
+    """EMA codebook buffers (reference registers these as torch buffers,
+    `quantizer.py:79-81`)."""
+    embedding: jax.Array      # [K, D]
+    cluster_size: jax.Array   # [K]
+    embedding_avg: jax.Array  # [K, D]
+
+
+def init_ema_state(key: jax.Array, n_embed: int, dim: int,
+                   use_l2_norm: bool = False,
+                   dtype=jnp.float32) -> EMAState:
+    """randn init, optionally L2-normalized (`quantizer.py:76-81`)."""
+    emb = jax.random.normal(key, (n_embed, dim), dtype)
+    if use_l2_norm:
+        emb = _l2_normalize(emb)
+    return EMAState(embedding=emb,
+                    cluster_size=jnp.zeros((n_embed,), dtype),
+                    embedding_avg=emb)
+
+
+def _l2_normalize(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    # matches F.normalize(p=2, eps=1e-6): x / max(||x||, eps)
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def codebook_distances(z_flat: jax.Array, embedding: jax.Array) -> jax.Array:
+    """Expanded squared-L2 distances d[n, k] = |z|^2 + |e|^2 - 2 z.e
+    (`quantizer.py:99-101`). Returns [N, K] in f32."""
+    z = z_flat.astype(jnp.float32)
+    e = embedding.astype(jnp.float32)
+    z_sq = jnp.sum(z * z, axis=1, keepdims=True)
+    e_sq = jnp.sum(e * e, axis=1)
+    cross = jnp.dot(z, e.T, preferred_element_type=jnp.float32)
+    return z_sq + e_sq[None, :] - 2.0 * cross
+
+
+def vq_lookup(z_flat: jax.Array, embedding: jax.Array,
+              use_pallas: bool = False) -> jax.Array:
+    """Nearest-code indices [N] (first-min tie-break, matching torch.argmin)."""
+    if use_pallas:
+        from .pallas_vq import vq_argmin_pallas
+        return vq_argmin_pallas(z_flat, embedding)
+    return jnp.argmin(codebook_distances(z_flat, embedding), axis=1)
+
+
+def quantize_lookup(z: jax.Array, embedding: jax.Array,
+                    use_pallas: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """z: [..., D] -> (codes [...], z_q [..., D])."""
+    flat = z.reshape(-1, z.shape[-1])
+    codes = vq_lookup(flat, embedding, use_pallas=use_pallas)
+    z_q = jnp.take(embedding, codes, axis=0).reshape(z.shape)
+    return codes.reshape(z.shape[:-1]), z_q
+
+
+def straight_through(z: jax.Array, z_q: jax.Array) -> jax.Array:
+    """z + stop_grad(z_q - z) (`quantizer.py:144`)."""
+    return z + jax.lax.stop_gradient(z_q - z)
+
+
+def commitment_loss(z: jax.Array, z_q: jax.Array, beta: float) -> jax.Array:
+    """beta * mean((sg(z_q) - z)^2) (`quantizer.py:143`)."""
+    return beta * jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z))
+
+
+def ema_update(state: EMAState,
+               z_flat: jax.Array,
+               codes: jax.Array,
+               *,
+               decay: float = 0.99,
+               eps: float = 1e-5,
+               use_l2_norm: bool = False,
+               restart_unused_codes: bool = False,
+               restart_key: Optional[jax.Array] = None,
+               axis_name: Optional[str] = None) -> EMAState:
+    """One EMA codebook update step (`quantizer.py:107-141`), pure.
+
+    z_flat: [N, D] (already L2-normalized when use_l2_norm), codes: [N].
+    When `axis_name` is given the per-batch statistics are psum'd across that
+    mesh axis (the TPU equivalent of the NCCL all_reduce at
+    `quantizer.py:111-112`).
+    """
+    n_embed, dim = state.embedding.shape
+    z32 = z_flat.astype(jnp.float32)
+
+    onehot = jax.nn.one_hot(codes, n_embed, dtype=jnp.float32)  # [N, K]
+    onehot_sum = onehot.sum(axis=0)                              # [K]
+    embed_sum = jnp.dot(onehot.T, z32, preferred_element_type=jnp.float32)
+
+    if axis_name is not None:
+        onehot_sum = jax.lax.psum(onehot_sum, axis_name)
+        embed_sum = jax.lax.psum(embed_sum, axis_name)
+
+    cluster_size = state.cluster_size * decay + onehot_sum * (1.0 - decay)
+    embedding_avg = state.embedding_avg * decay + embed_sum * (1.0 - decay)
+
+    if restart_unused_codes:
+        assert restart_key is not None, 'restart_unused_codes needs a PRNG key'
+        vectors = _tile_with_noise(z32, n_embed, restart_key)
+        perm_key, _ = jax.random.split(restart_key)
+        perm = jax.random.permutation(perm_key, vectors.shape[0])
+        random_vectors = vectors[perm][:n_embed]
+        # usage gate (`quantizer.py:129-132`)
+        usage = (cluster_size >= 1.0).astype(jnp.float32)
+        embedding_avg = embedding_avg * usage[:, None] + \
+            random_vectors * (1.0 - usage[:, None])
+        cluster_size = cluster_size * usage + (1.0 - usage)
+
+    n = cluster_size.sum()
+    smoothed = (cluster_size + eps) / (n + n_embed * eps) * n
+    embedding = embedding_avg / smoothed[:, None]
+    if use_l2_norm:
+        embedding = _l2_normalize(embedding)
+
+    return EMAState(embedding=embedding,
+                    cluster_size=cluster_size,
+                    embedding_avg=embedding_avg)
+
+
+def _tile_with_noise(x: jax.Array, target_n: int, key: jax.Array) -> jax.Array:
+    """Repeat batch vectors with small uniform noise until >= target_n rows
+    (`quantizer.py:83-90`)."""
+    n, dim = x.shape
+    n_repeats = (target_n + n - 1) // n
+    std = 0.01 / jnp.sqrt(jnp.float32(dim))
+    tiled = jnp.tile(x, (n_repeats, 1))
+    noise = jax.random.uniform(key, tiled.shape, jnp.float32) * std
+    return tiled + noise
+
+
+def soft_codes(z_flat: jax.Array, embedding: jax.Array, temp: float = 1.0,
+               *, stochastic: bool = False,
+               key: Optional[jax.Array] = None
+               ) -> Tuple[jax.Array, jax.Array]:
+    """(codes [N], soft_code [N, K]) — softmax(-d / temp) distributions with
+    optional stochastic draw (`quantizer.py:148-171`)."""
+    d = codebook_distances(z_flat, embedding)
+    soft = jax.nn.softmax(-d / temp, axis=1)
+    if stochastic:
+        assert key is not None
+        codes = jax.random.categorical(key, jnp.log(soft + 1e-20), axis=1)
+    else:
+        codes = jnp.argmin(d, axis=1)
+    return codes, soft
