@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Driver benchmark: class-conditional ImageNet-256 sampling throughput on
+one chip, end-to-end (AR transformer loop + stage-1 pixel decode), on the
+flagship HQ-Transformer L12 d=1536 configuration.
+
+Mirrors the reference harness protocol (`measure_throughput/__main__.py`:
+batch 50+, warmup loop, averaged timed loops, AR + decode both counted) but
+as a single jit-compiled XLA program in bf16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline anchor: the reference repo ships the throughput harness but no
+committed numbers (SURVEY.md §6). We anchor at 100 samples/s/GPU (10 ms per
+sample) — a deliberately generous estimate for the PyTorch reference (12
+layers, bs 50, fp16, A100-class GPU; RQ/HQ family papers report 11-30 ms per
+sample for comparable settings). vs_baseline = value / 100, so the >=5x
+rebuild target (BASELINE.md) corresponds to vs_baseline >= 5.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from hqtransformer_tpu.config import build_twostage_config
+from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.sampling.engine import SamplingParams
+
+BASELINE_SAMPLES_PER_SEC = 100.0
+CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'configs',
+                      'imagenet', 'stage2', 'hqtransformer-l12-top8x8.yaml')
+
+
+def main():
+    batch = int(os.environ.get('BENCH_BATCH', '128'))
+    n_loops = int(os.environ.get('BENCH_LOOPS', '3'))
+
+    cfg = build_twostage_config(CONFIG)
+    model = TwoStageModel(cfg, dtype=jnp.bfloat16)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+
+    sp = SamplingParams(top_k_top=2048, top_k_bot=2048,
+                        temperature_top=0.95, temperature_bot=0.95)
+    sampler = model.make_pixel_sampler(params=sp,
+                                       cache_dtype=jnp.bfloat16)
+    labels = jnp.arange(batch, dtype=jnp.int32) % 1000
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    pixels, _ = sampler(variables, key, labels)
+    pixels.block_until_ready()
+
+    times = []
+    for i in range(n_loops):
+        key, k = jax.random.split(key)
+        t0 = time.perf_counter()
+        pixels, _ = sampler(variables, k, labels)
+        pixels.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    samples_per_sec = batch / dt
+    print(json.dumps({
+        'metric': 'imagenet256_e2e_samples_per_sec_per_chip',
+        'value': round(samples_per_sec, 3),
+        'unit': 'samples/s',
+        'vs_baseline': round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

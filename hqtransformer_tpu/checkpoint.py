@@ -43,7 +43,7 @@ _LIST_PATTERNS = [
     # stage-2 block lists / mlp Sequential / multi-level ModuleLists
     (re.compile(r'^(blocks|depths|emb_blocks)\.(\d+)\.'),
      lambda m: f'{m.group(1)}_{m.group(2)}.'),
-    (re.compile(r'\.mlp\.(\d+)\.'), lambda m: f'.mlp_{m.group(1)}.'),
+    (re.compile(r'^mlp\.(\d+)\.'), lambda m: f'mlp_{m.group(1)}.'),
     (re.compile(r'^(tok_emb_levels|tok_emb_depth_levels|pos_emb_depths|'
                 r'ln_levels|head_levels)\.(\d+)\.'),
      lambda m: f'{m.group(1)}_{m.group(2)}.'),
@@ -122,20 +122,33 @@ def _is_norm_main(parts) -> bool:
 # ---------------------------------------------------------------------------
 
 def _fit_tensor(src: np.ndarray, dst_shape: Tuple[int, ...],
-                tkey: str) -> np.ndarray:
-    """Transpose/reshape a torch tensor into the flax leaf's layout."""
+                tkey: str, leaf: str) -> np.ndarray:
+    """Transpose/reshape a torch tensor into the flax leaf's layout.
+
+    The transform is keyed on the flax leaf name, NOT on shapes — a square
+    Linear weight still needs its [out,in] -> [in,out] transpose.
+    """
     s = tuple(src.shape)
     d = tuple(dst_shape)
-    if s == d:
-        return src
-    if src.ndim == 4 and tuple(np.transpose(src, (2, 3, 1, 0)).shape) == d:
-        return np.transpose(src, (2, 3, 1, 0))  # OIHW conv -> HWIO
-    if src.ndim == 2 and (s[1], s[0]) == d:
-        return np.transpose(src)  # torch Linear [out,in] -> flax [in,out]
-    if src.ndim == 3 and s[0] == s[1] == 1 and (s[2],) != d and \
-            np.prod(s) == np.prod(d):
-        return src.reshape(d)  # [1,1,D] params kept as-is elsewhere
-    raise ValueError(f'cannot fit {tkey}: torch {s} -> flax {d}')
+    if leaf == 'kernel':
+        if src.ndim == 2:
+            out = np.transpose(src)          # Linear [out,in] -> [in,out]
+        elif src.ndim == 4:
+            hwio = np.transpose(src, (2, 3, 1, 0))   # conv OIHW -> HWIO
+            if tuple(hwio.shape) == d:
+                out = hwio
+            elif s == d:
+                out = src                    # ConvTransposeUp torch layout
+            else:
+                raise ValueError(f'cannot fit {tkey}: torch {s} -> flax {d}')
+        else:
+            raise ValueError(f'cannot fit {tkey}: torch {s} -> flax {d}')
+    else:
+        out = src
+    if tuple(out.shape) != d:
+        raise ValueError(f'cannot fit {tkey}: torch {s} -> flax {d} '
+                         f'(leaf {leaf})')
+    return out
 
 
 def _flatten(tree, prefix=()):
@@ -212,7 +225,7 @@ def convert_torch_state_dict(state_dict: Mapping[str, np.ndarray],
             unmatched.append(tkey)
             continue
         target_path, target = lookup[col][pstr]
-        fitted = _fit_tensor(tval, target.shape, tkey)
+        fitted = _fit_tensor(tval, target.shape, tkey, path[-1])
         new_flat[col][target_path] = jnp.asarray(fitted)
         matched_paths.add((col, target_path))
 

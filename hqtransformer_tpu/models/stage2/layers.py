@@ -1,0 +1,267 @@
+"""Stage-2 transformer primitives: multi-head attention with explicit mask
+arguments and a static-shape KV-cache decode path.
+
+Re-design of the reference's minGPT-style blocks
+(`hqvae/models/stage2/layers.py:26-431`). Differences from the reference,
+deliberate and TPU-motivated:
+
+* masks are compile-time constants passed in by the model (the reference
+  rebuilds torch masks inside every forward);
+* the decode path (`step`) attends against a PREALLOCATED cache
+  [B, n_heads, T_max, head_dim] with a traced length — no concatenation of
+  growing `past` tensors, so a 64-step `lax.scan` stays fully static;
+* attention math runs in f32 on the MXU regardless of activation dtype
+  (matching the fp32 softmax the reference gets from autocast).
+
+Head splitting is channel-contiguous per head, matching the reference's
+`view(T, B*nh, hs)` (`layers.py:73`), so projection weights transfer 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+NEG_INF = -1e10
+
+
+def gelu(x: jax.Array, use_approx: bool = False) -> jax.Array:
+    """GELU; approx variant is x*sigmoid(1.702x) (`layers.py:14-23`)."""
+    if use_approx:
+        return x * jax.nn.sigmoid(1.702 * x)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    """[B, T, C] -> [B, nh, T, hd]."""
+    B, T, C = x.shape
+    return x.reshape(B, T, n_heads, C // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """[B, nh, T, hd] -> [B, T, C]."""
+    B, nh, T, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+
+
+def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     mask: Optional[jax.Array],
+                     valid_len: Optional[jax.Array] = None) -> jax.Array:
+    """Scaled dot-product attention over [B, nh, T, hd] tensors.
+
+    `mask`: bool [Tq, Tk] or None (no masking). `valid_len`: optional traced
+    scalar — keys at positions >= valid_len are masked out (KV-cache decode).
+    Scores/softmax in f32.
+    """
+    hd = q.shape[-1]
+    att = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                     preferred_element_type=jnp.float32)
+    att = att * (1.0 / np.sqrt(hd))
+    if mask is not None:
+        att = jnp.where(mask[None, None], att, NEG_INF)
+    if valid_len is not None:
+        pos = jnp.arange(k.shape[2])
+        att = jnp.where((pos < valid_len)[None, None, None, :], att, NEG_INF)
+    att = jax.nn.softmax(att, axis=-1)
+    return jnp.einsum('bhqk,bhkd->bhqd', att.astype(v.dtype), v)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention (`layers.py:26-195`) with full-sequence and
+    cached-decode entry points sharing the same parameters."""
+    embed_dim: int
+    n_heads: int
+    attn_bias: bool = True
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        d = dict(use_bias=self.attn_bias, dtype=self.dtype)
+        self.query = nn.Dense(self.embed_dim, name='query', **d)
+        self.key = nn.Dense(self.embed_dim, name='key', **d)
+        self.value = nn.Dense(self.embed_dim, name='value', **d)
+        self.proj = nn.Dense(self.embed_dim, name='proj', **d)
+        self.resid_drop = nn.Dropout(self.resid_pdrop)
+
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
+                 contexts: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        """Full-sequence attention. With `contexts`, keys/values cover
+        [contexts; x] (text-prefix training path, `layers.py:75-82`)."""
+        q = _split_heads(self.query(x), self.n_heads)
+        kv_in = x if contexts is None else jnp.concatenate([contexts, x], 1)
+        k = _split_heads(self.key(kv_in), self.n_heads)
+        v = _split_heads(self.value(kv_in), self.n_heads)
+        y = _merge_heads(masked_attention(q, k, v, mask))
+        y = self.proj(y)
+        if self.resid_pdrop > 0.0:
+            y = self.resid_drop(y, deterministic=deterministic)
+        return y
+
+    def step(self, x: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+             cache_len, self_mask: Optional[jax.Array] = None
+             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Cached decode: x [B, T_new, C]; k/v_cache [B, nh, T_max, hd].
+
+        Writes the new keys/values at [cache_len, cache_len+T_new), attends
+        over the first cache_len + T_new positions (the reference's
+        past-concat branch, `layers.py:93-99,119-123`), with `self_mask`
+        [T_new, T_new] restricting attention among the new tokens (tril by
+        default; full for the parallel depth decode, `layers.py:147-152`).
+        Returns (y, k_cache', v_cache').
+        """
+        B, T_new, C = x.shape
+        q = _split_heads(self.query(x), self.n_heads)
+        k_new = _split_heads(self.key(x), self.n_heads)
+        v_new = _split_heads(self.value(x), self.n_heads)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, cache_len, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, cache_len, 0))
+
+        T_max = k_cache.shape[2]
+        pos = jnp.arange(T_max)
+        # past positions all visible; new positions per self_mask
+        if self_mask is None:
+            self_mask = jnp.tril(jnp.ones((T_new, T_new), bool))
+        new_idx = pos - cache_len  # index of key among new tokens (>=0)
+        is_past = pos < cache_len
+        in_new = (new_idx >= 0) & (new_idx < T_new)
+        sm = jnp.take_along_axis(
+            jnp.pad(self_mask, ((0, 0), (0, 1))),
+            jnp.clip(new_idx, 0, T_new)[None, :].repeat(T_new, 0), axis=1)
+        mask = is_past[None, :] | (in_new[None, :] & sm)  # [T_new, T_max]
+
+        hd = q.shape[-1]
+        att = jnp.einsum('bhqd,bhkd->bhqk', q,
+                         k_cache.astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        att = att * (1.0 / np.sqrt(hd))
+        att = jnp.where(mask[None, None], att, NEG_INF)
+        att = jax.nn.softmax(att, axis=-1)
+        y = jnp.einsum('bhqk,bhkd->bhqd', att.astype(x.dtype),
+                       v_cache.astype(x.dtype))
+        return self.proj(_merge_heads(y)), k_cache, v_cache
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention (`layers.py:198-286`)."""
+    embed_dim: int
+    n_heads: int
+    attn_bias: bool = True
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        d = dict(use_bias=self.attn_bias, dtype=self.dtype)
+        self.query = nn.Dense(self.embed_dim, name='query', **d)
+        self.key = nn.Dense(self.embed_dim, name='key', **d)
+        self.value = nn.Dense(self.embed_dim, name='value', **d)
+        self.proj = nn.Dense(self.embed_dim, name='proj', **d)
+
+    def __call__(self, x: jax.Array, x_query: jax.Array,
+                 mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        q = _split_heads(self.query(x_query), self.n_heads)
+        k = _split_heads(self.key(x), self.n_heads)
+        v = _split_heads(self.value(x), self.n_heads)
+        return self.proj(_merge_heads(masked_attention(q, k, v, mask)))
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block: x + attn(ln1 x); x + mlp(ln2 x)
+    (`layers.py:290-328`). The mask argument selects the regime; ParallelBlock
+    (`layers.py:332-375`) is this block with a parallel mask."""
+    embed_dim: int
+    n_heads: int
+    mlp_bias: bool = True
+    attn_bias: bool = True
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    gelu_use_approx: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, name='ln1', dtype=self.dtype)
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, name='ln2', dtype=self.dtype)
+        self.attn = SelfAttention(embed_dim=self.embed_dim,
+                                  n_heads=self.n_heads,
+                                  attn_bias=self.attn_bias,
+                                  attn_pdrop=self.attn_pdrop,
+                                  resid_pdrop=self.resid_pdrop,
+                                  dtype=self.dtype, name='attn')
+        self.mlp_0 = nn.Dense(4 * self.embed_dim, use_bias=self.mlp_bias,
+                              name='mlp_0', dtype=self.dtype)
+        self.mlp_2 = nn.Dense(self.embed_dim, use_bias=self.mlp_bias,
+                              name='mlp_2', dtype=self.dtype)
+        self.mlp_drop = nn.Dropout(self.resid_pdrop)
+
+    def _mlp(self, x, deterministic):
+        h = self.mlp_2(gelu(self.mlp_0(x), self.gelu_use_approx))
+        if self.resid_pdrop > 0.0:
+            h = self.mlp_drop(h, deterministic=deterministic)
+        return h
+
+    def __call__(self, x, mask=None, contexts=None, deterministic=True):
+        x = x + self.attn(self.ln1(x), mask=mask, contexts=contexts,
+                          deterministic=deterministic)
+        x = x + self._mlp(self.ln2(x), deterministic)
+        return x
+
+    def step(self, x, k_cache, v_cache, cache_len, self_mask=None):
+        a, k_cache, v_cache = self.attn.step(self.ln1(x), k_cache, v_cache,
+                                             cache_len, self_mask)
+        x = x + a
+        x = x + self._mlp(self.ln2(x), True)
+        return x, k_cache, v_cache
+
+
+class DecoderBlock(nn.Module):
+    """Self-attention + cross-attention block (`layers.py:379-431`; defined
+    by the reference but never instantiated — provided for API parity)."""
+    embed_dim: int
+    n_heads: int
+    mlp_bias: bool = True
+    attn_bias: bool = True
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    gelu_use_approx: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, name='ln1', dtype=self.dtype)
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, name='ln2', dtype=self.dtype)
+        self.ln3 = nn.LayerNorm(epsilon=1e-5, name='ln3', dtype=self.dtype)
+        self.attn1 = SelfAttention(embed_dim=self.embed_dim,
+                                   n_heads=self.n_heads,
+                                   attn_bias=self.attn_bias,
+                                   dtype=self.dtype, name='attn1')
+        self.attn2 = CrossAttention(embed_dim=self.embed_dim,
+                                    n_heads=self.n_heads,
+                                    attn_bias=self.attn_bias,
+                                    dtype=self.dtype, name='attn2')
+        self.mlp_0 = nn.Dense(4 * self.embed_dim, use_bias=self.mlp_bias,
+                              name='mlp_0', dtype=self.dtype)
+        self.mlp_2 = nn.Dense(self.embed_dim, use_bias=self.mlp_bias,
+                              name='mlp_2', dtype=self.dtype)
+
+    def __call__(self, x, contexts, mask=None, deterministic=True):
+        x = x + self.attn1(self.ln1(x), mask=mask,
+                           deterministic=deterministic)
+        x = x + self.attn2(contexts, self.ln2(x))
+        x = x + self.mlp_2(gelu(self.mlp_0(self.ln3(x)),
+                                self.gelu_use_approx))
+        return x
+
+
+def init_kv_cache(n_layers: int, batch: int, n_heads: int, t_max: int,
+                  head_dim: int, dtype=jnp.float32
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Stacked per-layer caches [L, B, nh, T_max, hd]."""
+    shape = (n_layers, batch, n_heads, t_max, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -1,0 +1,181 @@
+"""Two-stage model wrapper: frozen stage-1 HQ-VAE + trainable stage-2
+transformer, with checkpoint loading and end-to-end pixel sampling.
+
+Equivalent of `ImageGPT2` (`hqvae/models/__init__.py:92-474`) minus the
+Lightning scaffolding: stage-1 and stage-2 are independent flax modules with
+separate variable trees, composed by pure functions (code extraction ->
+stage-2 forward; sampler -> decode_code), all jit-compiled together.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (Stage2Hparams, TwoStageConfig, parse_model_type)
+from ..checkpoint import convert_torch_state_dict, load_torch_checkpoint
+from ..sampling.engine import SamplingParams, make_hierarchical_sampler
+from .stage1.generator import build_generator
+from .stage2.hierarchical import HierarchicalGPT, cells_to_raster
+from .stage2.transformer import IGPT, Transformer1d
+
+
+def build_stage2(config: TwoStageConfig, dtype=jnp.float32):
+    """Stage-2 dispatch by `stage2.type` (`models/__init__.py:114-147`)."""
+    s2 = config.stage2
+    spec = parse_model_type(s2.type)
+    if spec.family == 'top':
+        return IGPT(vocab_size_img=s2.vocab_size_img,
+                    use_cls_cond=bool(s2.use_cls_cond), hparams=s2.hparams,
+                    dtype=dtype)
+    if spec.family == 'bottom':
+        return Transformer1d(vocab_size_txt=s2.vocab_size_img,
+                             vocab_size_img=s2.vocab_size_img,
+                             hparams=s2.hparams, dtype=dtype)
+    if spec.family == 'hq-transformer':
+        return HierarchicalGPT(vocab_size_top=s2.vocab_size_img,
+                               vocab_size_bot=s2.vocab_size_img,
+                               vocab_size_txt=s2.vocab_size_txt,
+                               ratio_bot2top=s2.ratio_bot2top,
+                               use_cls_cond=bool(s2.use_cls_cond),
+                               use_txt_cond=bool(s2.use_txt_cond),
+                               model_type=spec, hparams=s2.hparams,
+                               hparams_dec=s2.hparams_dec, dtype=dtype)
+    if spec.family == 'multilevel-hq':
+        from .stage2.multilevel import MultiLevelHQTransformer
+        return MultiLevelHQTransformer(
+            vocab_sizes=tuple(s2.vocab_sizes_img),
+            vocab_size_txt=s2.vocab_size_txt,
+            decoding_type=s2.decoding_type or 'tree',
+            use_cls_cond=bool(s2.use_cls_cond),
+            use_txt_cond=bool(s2.use_txt_cond),
+            hparams=s2.hparams, hparams_dec=s2.hparams_dec, dtype=dtype)
+    raise ValueError(s2.type)
+
+
+class TwoStageModel:
+    """Container pairing the frozen stage-1 generator with a stage-2 AR
+    model. Not a flax module: holds two module defs and composes their
+    `apply` calls in jitted pure functions."""
+
+    def __init__(self, config: TwoStageConfig, dtype=jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        self.stage1 = build_generator(config.stage1, dtype=dtype)
+        self.stage2 = build_stage2(config, dtype=dtype)
+        hp = config.stage2.hparams
+        # spatial length of the stage-2 loop: top codes of the stage-1
+        # latent. For the 2-level model this is latent_dim^2 / ratio.
+        s1 = config.stage1
+        self.latent_dim = s1.hparams.attn_resolutions[0]
+        self.ratio = config.stage2.ratio_bot2top or 4
+        self.cell_win = int(math.isqrt(self.ratio))
+        self.top_res = self.latent_dim // self.cell_win
+
+    # ------------------------------------------------------------ variables
+    def init_variables(self, key: jax.Array,
+                       image_resolution: Optional[int] = None) -> Dict:
+        k1, k2 = jax.random.split(key)
+        res = image_resolution or self.config.dataset.image_resolution
+        x = jnp.zeros((1, res, res, 3), self.dtype)
+        v1 = self.stage1.init(k1, x)
+        B, Ttop = 1, self.top_res * self.top_res
+        codes_t = jnp.zeros((B, Ttop), jnp.int32)
+        if isinstance(self.stage2, HierarchicalGPT):
+            codes_b = jnp.zeros((B, Ttop * self.ratio), jnp.int32)
+            labels = self._dummy_labels(B)
+            v2 = self.stage2.init(k2, codes_t, codes_b, labels)
+        elif isinstance(self.stage2, IGPT):
+            v2 = self.stage2.init(k2, codes_t, self._dummy_labels(B))
+        elif isinstance(self.stage2, Transformer1d):
+            texts = jnp.zeros((B, self.config.stage2.hparams.ctx_len_txt),
+                              jnp.int32)
+            v2 = self.stage2.init(k2, codes_t, texts)
+        else:
+            from .stage2.multilevel import MultiLevelHQTransformer
+            codes = [codes_t]
+            win = 1
+            for _ in range(len(self.config.stage2.vocab_sizes_img) - 1):
+                win *= 2
+                codes.append(jnp.zeros((B, Ttop * win * win), jnp.int32))
+            v2 = self.stage2.init(k2, codes, self._dummy_labels(B))
+        return {'stage1': v1, 'stage2': v2}
+
+    def _dummy_labels(self, B: int):
+        if self.config.stage2.use_txt_cond:
+            return jnp.zeros((B, self.config.stage2.hparams.ctx_len_txt),
+                             jnp.int32)
+        return jnp.zeros((B,), jnp.int32)
+
+    # ----------------------------------------------------------- checkpoint
+    def load_reference_checkpoint(self, path_or_sd, variables: Dict) -> Dict:
+        """Load a reference Lightning ckpt with 'stage1.*' / 'stage2.*' keys
+        (SURVEY.md §5 layout) into the variable trees."""
+        sd = (load_torch_checkpoint(path_or_sd)
+              if isinstance(path_or_sd, str) else path_or_sd)
+        sd1 = {k[len('stage1.'):]: v for k, v in sd.items()
+               if k.startswith('stage1.')}
+        sd2 = {k[len('stage2.'):]: v for k, v in sd.items()
+               if k.startswith('stage2.')}
+        return {'stage1': convert_torch_state_dict(sd1, variables['stage1']),
+                'stage2': convert_torch_state_dict(sd2, variables['stage2'])}
+
+    # ------------------------------------------------------------- forward
+    def extract_codes(self, variables, images,
+                      temp_soft_labels: Optional[float] = None,
+                      rng: Optional[jax.Array] = None):
+        """Frozen stage-1 code extraction (`models/__init__.py:245-255`).
+        Returns ((codes_t [B, Ttop], codes_b [B, Tbot]), (soft_t, soft_b))."""
+        B = images.shape[0]
+        if temp_soft_labels is not None:
+            (ct, cb), (st, sb) = self.stage1.apply(
+                variables['stage1'], images, temp_soft_labels,
+                method=type(self.stage1).get_soft_codes)
+            return ((jax.lax.stop_gradient(ct.reshape(B, -1)),
+                     jax.lax.stop_gradient(cb.reshape(B, -1))),
+                    (jax.lax.stop_gradient(st.reshape(B, -1, st.shape[-1])),
+                     jax.lax.stop_gradient(sb.reshape(B, -1, sb.shape[-1]))))
+        ct, cb = self.stage1.apply(variables['stage1'], images,
+                                   method=type(self.stage1).get_codes)
+        ct = jax.lax.stop_gradient(ct.reshape(B, -1))
+        cb = jax.lax.stop_gradient(cb.reshape(B, -1))
+        return (ct, cb), (None, None)
+
+    def forward(self, variables, images, labels=None):
+        """Training forward (`models/__init__.py:237-271`): stage-1 codes
+        under stop_gradient, stage-2 logits."""
+        (ct, cb), softs = self.extract_codes(variables, images)
+        logits = self.stage2.apply(variables['stage2'], ct, cb, labels)
+        return logits, (ct, cb), softs
+
+    # ------------------------------------------------------------- sampling
+    def make_pixel_sampler(self, max_seq_len: Optional[int] = None,
+                           params: SamplingParams = SamplingParams(),
+                           cache_dtype=None):
+        """Jitted end-to-end sampler: labels -> pixels in [0, 1].
+
+        Fuses the AR loop and the stage-1 `decode_code` into one XLA program
+        (the reference splits them and chunks decode per-sample,
+        `sampling_hqmodel.py:188-199`).
+        """
+        assert isinstance(self.stage2, HierarchicalGPT)
+        Ttop = max_seq_len or self.top_res * self.top_res
+        sampler = make_hierarchical_sampler(self.stage2, Ttop, params,
+                                            cache_dtype=cache_dtype)
+        top_res = int(math.isqrt(Ttop))
+
+        def sample_pixels(variables, key, labels):
+            codes_t, codes_b = sampler(variables['stage2'], key, labels)
+            ct = codes_t.reshape(-1, top_res, top_res)
+            cb_raster = cells_to_raster(codes_b, top_res, self.cell_win)
+            cb = cb_raster.reshape(-1, top_res * self.cell_win,
+                                   top_res * self.cell_win)
+            pixels = self.stage1.apply(variables['stage1'], ct, cb,
+                                       method=type(self.stage1).decode_code)
+            return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0), (codes_t, codes_b)
+
+        return jax.jit(sample_pixels)

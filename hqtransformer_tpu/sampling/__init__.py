@@ -1,0 +1,2 @@
+from .engine import (SamplingParams, make_hierarchical_sampler,  # noqa: F401
+                     make_igpt_sampler, make_txt2img_sampler)

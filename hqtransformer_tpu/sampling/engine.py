@@ -1,0 +1,318 @@
+"""Sampling engine: jit-compiled `lax.scan` decode loops for every stage-2
+model family.
+
+TPU re-design of the reference's python decode loops
+(`hqvae/utils/sampling.py:55-307`): where the reference iterates 64 spatial
+steps in python, stacking ever-growing `past` tensors and re-launching CUDA
+kernels per step, here the whole generation — embedding, KV-cached attention,
+depth mini-decode, temperature/top-k/top-p filtering and categorical draws —
+is ONE compiled XLA program: a `lax.scan` over spatial positions with a
+preallocated static-shape KV cache, fully on-device RNG (`jax.random`), and
+the 2-3 depth iterations unrolled inside the scan body.
+
+RNG discipline (differs from torch, documented): one `jax.random` key per
+sampler call, split deterministically per step and per token draw in the
+reference's draw order (top first, then bottom positions 0..r-1). Fixed seed
+=> bit-identical token streams across runs/hosts on the same topology.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.stage2.hierarchical import HierarchicalGPT
+from ..ops.topk_topp import sample_from_logits
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Per-level filtering knobs (`sampling_hqmodel.py:28-32`,
+    `hierarchical_ar.py:434-439`)."""
+    top_k_top: Optional[int] = None
+    top_p_top: Optional[float] = None
+    top_k_bot: Optional[int] = None
+    top_p_bot: Optional[float] = None
+    temperature_top: float = 1.0
+    temperature_bot: float = 1.0
+
+
+def _depth_sample_parallel(model: HierarchicalGPT, variables, h, key,
+                           sp: SamplingParams,
+                           given_top: Optional[jax.Array] = None):
+    """Depth decode, 'parallel' mode (`hierarchical_ar.py:721-789`):
+    iteration 0 samples the top code; iterations 1..len_seq_depth-1 sample
+    groups of num_bottom_pred bottom codes in parallel. h: [B, D]."""
+    r = model.ratio_bot2top
+    n = model.num_bottom_pred
+    n_groups = r // n
+
+    logits_top, kv = model.apply(variables, h,
+                                 method=HierarchicalGPT.depth_first_logits)
+    key, k_top = jax.random.split(key)
+    top = sample_from_logits(k_top, logits_top,
+                             temperature=sp.temperature_top,
+                             top_k=sp.top_k_top, top_p=sp.top_p_top)
+    if given_top is not None:
+        top = given_top
+    bots = []
+    prev_codes = top[:, None]  # [B, 1]
+    for g in range(1, n_groups + 1):
+        logits_bot, kv = model.apply(
+            variables, prev_codes, kv, g,
+            method=HierarchicalGPT.depth_second_logits)  # [B, n, Vb]
+        group = []
+        for j in range(n):
+            key, kj = jax.random.split(key)
+            group.append(sample_from_logits(
+                kj, logits_bot[:, j], temperature=sp.temperature_bot,
+                top_k=sp.top_k_bot, top_p=sp.top_p_bot))
+        bots.extend(group)
+        # reference quirk: next group is conditioned on these codes through
+        # tok_emb_top_depth (`hierarchical_ar.py:697-701`)
+        prev_codes = jnp.stack(group, axis=1)
+    return top, jnp.stack(bots, axis=1)  # [B], [B, r]
+
+
+def _depth_sample_bidirectional(model: HierarchicalGPT, variables, h, key,
+                                sp: SamplingParams,
+                                given_top: Optional[jax.Array] = None):
+    """Single-pass bidirectional depth decode. Reference quirk: every
+    position (including top) is filtered with top_k_bot/top_p_bot and
+    temperature_top (`hierarchical_ar.py:861-874`)."""
+    logits_top, logits_bot = model.apply(
+        variables, h, method=HierarchicalGPT.depth_bidirectional)
+    logits = jnp.concatenate([logits_top, logits_bot], axis=1)
+    outs = []
+    for j in range(logits.shape[1]):
+        key, kj = jax.random.split(key)
+        outs.append(sample_from_logits(
+            kj, logits[:, j], temperature=sp.temperature_top,
+            top_k=sp.top_k_bot, top_p=sp.top_p_bot))
+    top = outs[0]
+    if given_top is not None:
+        top = given_top
+    return top, jnp.stack(outs[1:], axis=1)
+
+
+def _depth_sample_top2bot(model: HierarchicalGPT, variables, h, key,
+                          sp: SamplingParams,
+                          given_top: Optional[jax.Array] = None):
+    """Fully-causal depth decode (`hierarchical_ar.py:613-664`):
+    len_seq_depth single-token steps through the depth stack."""
+    B = h.shape[0]
+    hpd = model.hpd
+    n_layers_d = hpd.n_layers
+    n_heads = hpd.n_heads
+    hd = hpd.embed_dim // n_heads
+    T = model.len_seq_depth
+    kc = jnp.zeros((n_layers_d, B, n_heads, T, hd), h.dtype)
+    vc = jnp.zeros_like(kc)
+
+    def run_step(x, kc, vc, cache_len):
+        return model.apply(variables, x, kc, vc, cache_len,
+                           method=HierarchicalGPT.depth_causal_step)
+
+    sos_depth = model.apply(variables,
+                            method=lambda m: m.sos_depth)
+    x = h[:, None, :] + sos_depth
+    x, kc, vc = run_step(x, kc, vc, 0)
+    logits = _head(model, variables, 'top', x[:, 0])
+    key, k0 = jax.random.split(key)
+    top = sample_from_logits(k0, logits, temperature=sp.temperature_top,
+                             top_k=sp.top_k_top, top_p=sp.top_p_top)
+    if given_top is not None:
+        top = given_top
+
+    codes = [top]
+    for cnt in range(1, T):
+        prev = codes[-1]
+        if cnt == 1:
+            emb = model.apply(variables, prev,
+                              method=lambda m, c: m.tok_emb_top_depth(c))
+        else:
+            emb = model.apply(variables, prev,
+                              method=lambda m, c: m.tok_emb_bot_depth(c))
+        pos = model.apply(
+            variables, jnp.full((B,), cnt - 1, jnp.int32),
+            method=lambda m, p: m.pos_emb_depth(p))
+        x = (emb + pos)[:, None, :]
+        x, kc, vc = run_step(x, kc, vc, cnt)
+        logits = _head(model, variables, 'bot', x[:, 0])
+        key, kc_ = jax.random.split(key)
+        codes.append(sample_from_logits(
+            kc_, logits, temperature=sp.temperature_bot,
+            top_k=sp.top_k_bot, top_p=sp.top_p_bot))
+    return codes[0], jnp.stack(codes[1:], axis=1)
+
+
+def _head(model, variables, which, x):
+    if which == 'top':
+        return model.apply(variables, x,
+                           method=lambda m, v: m.head_top(m.ln_top(v)))
+    return model.apply(variables, x,
+                       method=lambda m, v: m.head_bot(m.ln_bot(v)))
+
+
+_DEPTH_SAMPLERS = {
+    'parallel': _depth_sample_parallel,
+    'bidirectional': _depth_sample_bidirectional,
+    'top2bot': _depth_sample_top2bot,
+}
+
+
+def make_hierarchical_sampler(model: HierarchicalGPT,
+                              max_seq_len: int = 64,
+                              params: SamplingParams = SamplingParams(),
+                              use_given_top: bool = False,
+                              cache_dtype=None):
+    """Build a jitted sampler for the 2-level model.
+
+    Returns fn(variables, key, labels[, given_top_codes])
+      -> (codes_t [B, max_seq_len], codes_b [B, max_seq_len, ratio]).
+
+    `labels`: [B] int class ids (cls-cond), [B, ctx_len_txt] token ids
+    (txt-cond), or [B] dummy (uncond — only the batch size is used).
+    Equivalent of `sampling_ihqgpt` (`hqvae/utils/sampling.py:164-237`).
+    """
+    depth_fn = _DEPTH_SAMPLERS[model.depth_mode]
+    hp = model.hparams
+    n_heads = hp.n_heads
+    hd = hp.embed_dim // n_heads
+    n_layers = hp.n_layers
+    sos_len = hp.ctx_len_txt if model.use_txt_cond else 1
+
+    def sample(variables, key, labels, given_top_codes=None):
+        B = labels.shape[0]
+        sos = model.apply(variables, B, labels,
+                          method=HierarchicalGPT.sos_tokens)
+        t_max = sos_len + max_seq_len - 1
+        cdtype = cache_dtype or sos.dtype
+        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        vc = jnp.zeros_like(kc)
+
+        # prefill conditioning prefix (`hierarchical_ar.py:493-504`)
+        h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
+                                    method=HierarchicalGPT.spatial_step)
+        key, k0 = jax.random.split(key)
+        g0 = given_top_codes[:, 0] if use_given_top else None
+        top0, bot0 = depth_fn(model, variables, h_all[:, -1], k0, params,
+                              given_top=g0)
+
+        def body(carry, step):
+            kc, vc, prev_top, prev_bot, key = carry
+            i = step  # spatial index 1..max_seq_len-1
+            x = model.apply(variables, prev_top, prev_bot,
+                            jnp.full((B,), i - 1, jnp.int32),
+                            method=HierarchicalGPT.embed_cell_step)
+            h, kc, vc = model.apply(variables, x, kc, vc,
+                                    sos_len + i - 1,
+                                    method=HierarchicalGPT.spatial_step)
+            key, ki = jax.random.split(key)
+            gi = given_top_codes[:, i] if use_given_top else None
+            top_i, bot_i = depth_fn(model, variables, h[:, -1], ki, params,
+                                    given_top=gi)
+            return (kc, vc, top_i, bot_i, key), (top_i, bot_i)
+
+        (kc, vc, _, _, _), (tops, bots) = jax.lax.scan(
+            body, (kc, vc, top0, bot0, key),
+            jnp.arange(1, max_seq_len))
+        codes_t = jnp.concatenate([top0[:, None], tops.T], axis=1)
+        codes_b = jnp.concatenate([bot0[:, None, :],
+                                   bots.transpose(1, 0, 2)], axis=1)
+        return codes_t, codes_b
+
+    return jax.jit(sample)
+
+
+def make_igpt_sampler(model, max_seq_len: int = 256,
+                      top_k: Optional[int] = None,
+                      top_p: Optional[float] = None,
+                      temperature: float = 1.0,
+                      cache_dtype=None):
+    """Jitted sampler for the flat iGPT baseline (`sampling_igpt`,
+    `hqvae/utils/sampling.py:116-161`). Returns fn(variables, key, labels)
+    -> codes [B, max_seq_len]."""
+    hp = model.hparams
+    n_heads, n_layers = hp.n_heads, hp.n_layers
+    hd = hp.embed_dim // n_heads
+
+    def sample(variables, key, labels):
+        B = labels.shape[0]
+        sos = model.apply(variables, B, labels, method=type(model).sos_tokens)
+        t_max = max_seq_len
+        cdtype = cache_dtype or sos.dtype
+        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        vc = jnp.zeros_like(kc)
+        logits, kc, vc = model.apply(variables, sos, kc, vc, 0,
+                                     method=type(model).decode_step)
+        key, k0 = jax.random.split(key)
+        code0 = sample_from_logits(k0, logits, temperature=temperature,
+                                   top_k=top_k, top_p=top_p)
+
+        def body(carry, i):
+            kc, vc, prev, key = carry
+            x = model.apply(variables, prev,
+                            jnp.full((B,), i - 1, jnp.int32),
+                            method=type(model).embed_step)
+            logits, kc, vc = model.apply(variables, x, kc, vc, i,
+                                         method=type(model).decode_step)
+            key, ki = jax.random.split(key)
+            code = sample_from_logits(ki, logits, temperature=temperature,
+                                      top_k=top_k, top_p=top_p)
+            return (kc, vc, code, key), code
+
+        (_, _, _, _), codes = jax.lax.scan(
+            body, (kc, vc, code0, key), jnp.arange(1, max_seq_len))
+        return jnp.concatenate([code0[:, None], codes.T], axis=1)
+
+    return jax.jit(sample)
+
+
+def make_txt2img_sampler(model, max_seq_len: int = 256,
+                         top_k: Optional[int] = None,
+                         top_p: Optional[float] = None,
+                         temperature: float = 1.0,
+                         cache_dtype=None):
+    """Jitted sampler for Transformer1d text->image (`sampling`,
+    `hqvae/utils/sampling.py:55-113`). fn(variables, key, texts [B, N])
+    -> codes [B, max_seq_len]."""
+    hp = model.hparams
+    n_heads, n_layers = hp.n_heads, hp.n_layers
+    hd = hp.embed_dim // n_heads
+
+    def sample(variables, key, texts):
+        B, N = texts.shape
+        x = model.apply(variables, texts, method=type(model).embed_texts)
+        t_max = N + max_seq_len
+        cdtype = cache_dtype or x.dtype
+        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        vc = jnp.zeros_like(kc)
+        logits, kc, vc = model.apply(variables, x, kc, vc, 0,
+                                     method=type(model).decode_step)
+        key, k0 = jax.random.split(key)
+        code0 = sample_from_logits(k0, logits, temperature=temperature,
+                                   top_k=top_k, top_p=top_p)
+
+        def body(carry, i):
+            kc, vc, prev, key = carry
+            x = model.apply(variables, prev,
+                            jnp.full((B,), i - 1, jnp.int32),
+                            method=type(model).embed_step)
+            logits, kc, vc = model.apply(variables, x, kc, vc, N + i - 1,
+                                         method=type(model).decode_step)
+            key, ki = jax.random.split(key)
+            code = sample_from_logits(ki, logits, temperature=temperature,
+                                      top_k=top_k, top_p=top_p)
+            return (kc, vc, code, key), code
+
+        (_, _, _, _), codes = jax.lax.scan(
+            body, (kc, vc, code0, key), jnp.arange(1, max_seq_len))
+        return jnp.concatenate([code0[:, None], codes.T], axis=1)
+
+    return jax.jit(sample)

@@ -1,0 +1,152 @@
+"""Sharded-execution tests on the virtual 8-device CPU mesh: tensor/data
+parallel stage-2 train step matches the single-device step, and the
+scheduler matches the torch reference curve.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hqtransformer_tpu.config import Stage2Hparams, parse_model_type
+from hqtransformer_tpu.models.stage2.hierarchical import HierarchicalGPT
+from hqtransformer_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                             replicated,
+                                             stage2_param_sharding)
+from hqtransformer_tpu.train.scheduler import build_schedule
+from hqtransformer_tpu.train.stage2 import (TrainState, cross_entropy,
+                                            make_optimizer, make_train_step,
+                                            soft_target_cross_entropy)
+
+
+def tiny_model():
+    hp = Stage2Hparams(embed_dim=64, n_layers=2, n_heads=4,
+                       ctx_len_img=16, n_classes=10,
+                       embedding_type='transformer1', resid_pdrop=0.0)
+    return HierarchicalGPT(vocab_size_top=32, vocab_size_bot=32,
+                           vocab_size_txt=16, ratio_bot2top=4,
+                           use_cls_cond=True, use_txt_cond=False,
+                           model_type=parse_model_type(
+                               'hq-transformer/parallel'), hparams=hp)
+
+
+class _FakeStage1:
+    """Deterministic code 'extractor' standing in for the conv stage-1 so
+    the parallel test isolates the transformer sharding."""
+
+    def apply(self, variables, images, method=None):
+        B = images.shape[0]
+        flat = images.reshape(B, -1)
+        ct = (jnp.abs(flat[:, :16]) * 1000).astype(jnp.int32) % 32
+        cb = (jnp.abs(flat[:, :64]) * 999).astype(jnp.int32) % 32
+        return ct, cb
+
+    def get_codes(self, x):  # signature placeholder for type(...) lookup
+        pass
+
+
+def _setup():
+    model = tiny_model()
+    B, Ttop = 8, 16
+    labels = jnp.arange(B, dtype=jnp.int32) % 10
+    images = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, 3))
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((B, Ttop), jnp.int32),
+                           jnp.zeros((B, Ttop * 4), jnp.int32), labels)
+    schedule = build_schedule(1e-3, steps_per_epoch=10, final_steps=100,
+                              warmup_epoch=1)
+    from hqtransformer_tpu.config import OptConfig
+    opt = make_optimizer(OptConfig(betas=[0.9, 0.95], weight_decay=1e-4,
+                                   grad_clip_norm=1.0), schedule)
+    stage1 = _FakeStage1()
+    step = make_train_step(model, stage1, opt, weight_bottom=4.0)
+    params = variables['params']
+    state = TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+    return model, state, images, labels, step
+
+
+def test_sharded_train_step_matches_single_device():
+    model, state, images, labels, step = _setup()
+    ref_state, ref_metrics = jax.jit(step)(state, {}, images, labels)
+
+    mesh = make_mesh(dp=4, tp=2)
+    with mesh:
+        p = jax.device_put(state.params,
+                           stage2_param_sharding(mesh, state.params))
+        opt_state = jax.tree.map(lambda x: x, state.opt_state)
+        sh_state = TrainState(state.step, p, jax.device_put(
+            state.opt_state,
+            jax.tree.map(lambda _: replicated(mesh), state.opt_state)))
+        im = jax.device_put(images, batch_sharding(mesh))
+        lb = jax.device_put(labels, batch_sharding(mesh))
+        new_state, metrics = jax.jit(step)(sh_state, {}, im, lb)
+        jax.block_until_ready(new_state.params)
+
+    np.testing.assert_allclose(float(ref_metrics['loss']),
+                               float(metrics['loss']), rtol=1e-5)
+    # updated params must match the single-device update
+    flat_ref = jax.tree.leaves(ref_state.params)
+    flat_new = jax.tree.leaves(new_state.params)
+    for a, b in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_scheduler_matches_torch_reference():
+    torch = pytest.importorskip('torch')
+    from reference_loader import NSDict, ref_module
+    ref_s = ref_module('hqvae.optimizers.scheduler')
+
+    base_lr = 3e-4
+    opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    wcfg = NSDict(dict(multiplier=1.0, warmup_epoch=2.0, buffer_epoch=1.0,
+                       min_lr=1e-6, mode='fix', start_from_zero=True))
+    sched = ref_s.build_scheduler(opt, base_lr, steps_per_epoch=10,
+                                  final_steps=100, warmup_config=wcfg)
+    mine = build_schedule(base_lr, steps_per_epoch=10, final_steps=100,
+                          warmup_epoch=2.0, buffer_epoch=1.0,
+                          multiplier=1.0, min_lr=1e-6, mode='fix',
+                          start_from_zero=True)
+    for step in range(1, 100):
+        sched.step()
+        torch_lr = sched.get_last_lr()[0]
+        my_lr = float(mine(step))
+        np.testing.assert_allclose(my_lr, torch_lr, rtol=1e-5, atol=1e-9,
+                                   err_msg=f'step {step}')
+
+
+def test_soft_target_ce_matches_reference():
+    torch = pytest.importorskip('torch')
+    from reference_loader import ref_module
+    ref_m = pytest.importorskip('importlib').import_module  # noqa
+    import numpy as np
+    rng = np.random.RandomState(0)
+    logits = rng.randn(6, 32).astype(np.float32)
+    target = rng.rand(6, 32).astype(np.float32)
+    target /= target.sum(-1, keepdims=True)
+
+    # reference soft_target_cross_entropy lives in hqvae.models which needs
+    # lightning; replicate its exact formula with torch ops instead
+    t_logits = torch.from_numpy(logits)
+    t_target = torch.from_numpy(target)
+    m = torch.max(t_logits, dim=-1, keepdim=True)[0]
+    logprob = t_logits - m - torch.log(
+        torch.sum(torch.exp(t_logits - m), dim=-1, keepdim=True) + 1e-7)
+    t_loss = torch.sum(-t_target * logprob, dim=-1).mean().item()
+
+    j_loss = float(soft_target_cross_entropy(jnp.asarray(logits),
+                                             jnp.asarray(target)))
+    np.testing.assert_allclose(j_loss, t_loss, rtol=1e-6)
+
+
+def test_cross_entropy_matches_torch():
+    torch = pytest.importorskip('torch')
+    rng = np.random.RandomState(1)
+    logits = rng.randn(4, 7, 32).astype(np.float32)
+    codes = rng.randint(0, 32, (4, 7))
+    t = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).reshape(-1, 32),
+        torch.from_numpy(codes).reshape(-1)).item()
+    j = float(cross_entropy(jnp.asarray(logits), jnp.asarray(codes)))
+    np.testing.assert_allclose(j, t, rtol=1e-6)
