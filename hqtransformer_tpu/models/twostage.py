@@ -67,14 +67,20 @@ class TwoStageModel:
         self.dtype = dtype
         self.stage1 = build_generator(config.stage1, dtype=dtype)
         self.stage2 = build_stage2(config, dtype=dtype)
-        hp = config.stage2.hparams
         # spatial length of the stage-2 loop: top codes of the stage-1
-        # latent. For the 2-level model this is latent_dim^2 / ratio.
+        # latent. 2-level: latent_dim / sqrt(ratio); N-level:
+        # latent_dim / 2^(levels-1).
         s1 = config.stage1
         self.latent_dim = s1.hparams.attn_resolutions[0]
         self.ratio = config.stage2.ratio_bot2top or 4
         self.cell_win = int(math.isqrt(self.ratio))
-        self.top_res = self.latent_dim // self.cell_win
+        spec = parse_model_type(config.stage2.type)
+        if spec.family == 'multilevel-hq':
+            self.code_levels = len(config.stage2.vocab_sizes_img)
+            self.top_res = self.latent_dim // (2 ** (self.code_levels - 1))
+        else:
+            self.code_levels = 2
+            self.top_res = self.latent_dim // self.cell_win
 
     # ------------------------------------------------------------ variables
     def init_variables(self, key: jax.Array,
@@ -177,5 +183,36 @@ class TwoStageModel:
             pixels = self.stage1.apply(variables['stage1'], ct, cb,
                                        method=type(self.stage1).decode_code)
             return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0), (codes_t, codes_b)
+
+        return jax.jit(sample_pixels)
+
+    def make_pixel_sampler_multilevel(self, max_seq_len: Optional[int] = None,
+                                      top_k=(None, None, None),
+                                      top_p=(None, None, None),
+                                      temperature=(1.0, 1.0, 1.0),
+                                      cache_dtype=None):
+        """Jitted 3-level end-to-end sampler: labels -> pixels in [0, 1]
+        (the `sampling_level3` path, `sampling_hqmodel.py:124-153`)."""
+        from ..sampling.engine import make_multilevel_sampler
+        from .stage2.multilevel import (MultiLevelHQTransformer,
+                                        cells_to_level)
+        assert isinstance(self.stage2, MultiLevelHQTransformer)
+        Ttop = max_seq_len or self.top_res * self.top_res
+        sampler = make_multilevel_sampler(self.stage2, Ttop, top_k, top_p,
+                                          temperature,
+                                          cache_dtype=cache_dtype)
+        top_res = int(math.isqrt(Ttop))
+
+        def sample_pixels(variables, key, labels):
+            tops, mids, bots = sampler(variables['stage2'], key, labels)
+            codes = [
+                tops.reshape(-1, top_res, top_res),
+                cells_to_level(mids, top_res, 2).reshape(
+                    -1, top_res * 2, top_res * 2),
+                cells_to_level(bots, top_res, 4).reshape(
+                    -1, top_res * 4, top_res * 4)]
+            pixels = self.stage1.apply(variables['stage1'], codes,
+                                       method=type(self.stage1).decode_code)
+            return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0), (tops, mids, bots)
 
         return jax.jit(sample_pixels)

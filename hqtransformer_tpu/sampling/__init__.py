@@ -1,2 +1,3 @@
 from .engine import (SamplingParams, make_hierarchical_sampler,  # noqa: F401
-                     make_igpt_sampler, make_txt2img_sampler)
+                     make_igpt_sampler, make_multilevel_sampler,
+                     make_txt2img_sampler)

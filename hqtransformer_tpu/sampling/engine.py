@@ -316,3 +316,80 @@ def make_txt2img_sampler(model, max_seq_len: int = 256,
         return jnp.concatenate([code0[:, None], codes.T], axis=1)
 
     return jax.jit(sample)
+
+
+def make_multilevel_sampler(model, max_seq_len: int = 64,
+                            top_k=(None, None, None),
+                            top_p=(None, None, None),
+                            temperature=(1.0, 1.0, 1.0),
+                            cache_dtype=None):
+    """Jitted sampler for the 3-level model (`sampling_hqtransformer`,
+    `hqvae/utils/sampling.py:240-307` + `hqtransformer.py:409-635`).
+
+    Returns fn(variables, key, labels) -> (tops [B, L], mids [B, L, 4],
+    bots [B, L, 16]) with mids/bots in local raster order per top cell.
+    """
+    from ..models.stage2.multilevel import MultiLevelHQTransformer as ML
+
+    hp = model.hparams
+    n_heads, n_layers = hp.n_heads, hp.n_layers
+    hd = hp.embed_dim // n_heads
+    sos_len = hp.ctx_len_txt if model.use_txt_cond else 1
+
+    def depth_sample(variables, h, key):
+        l0 = model.apply(variables, h, None, None, 0, method=ML.depth_phase)
+        key, k0 = jax.random.split(key)
+        top = sample_from_logits(k0, l0, temperature=temperature[0],
+                                 top_k=top_k[0], top_p=top_p[0])
+        l1 = model.apply(variables, h, top, None, 1, method=ML.depth_phase)
+        mids = []
+        for j in range(4):
+            key, kj = jax.random.split(key)
+            mids.append(sample_from_logits(kj, l1[:, j],
+                                           temperature=temperature[1],
+                                           top_k=top_k[1], top_p=top_p[1]))
+        mids = jnp.stack(mids, axis=1)
+        l2 = model.apply(variables, h, top, mids, 2, method=ML.depth_phase)
+        bots = []
+        for j in range(16):
+            key, kj = jax.random.split(key)
+            bots.append(sample_from_logits(kj, l2[:, j],
+                                           temperature=temperature[2],
+                                           top_k=top_k[2], top_p=top_p[2]))
+        return top, mids, jnp.stack(bots, axis=1)
+
+    def sample(variables, key, labels):
+        B = labels.shape[0]
+        sos = model.apply(variables, B, labels,
+                          method=type(model).sos_tokens)
+        t_max = sos_len + max_seq_len - 1
+        cdtype = cache_dtype or sos.dtype
+        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        vc = jnp.zeros_like(kc)
+        h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
+                                    method=type(model).spatial_step)
+        key, k0 = jax.random.split(key)
+        top0, mid0, bot0 = depth_sample(variables, h_all[:, -1], k0)
+
+        def body(carry, i):
+            kc, vc, top, mid, bot, key = carry
+            x = model.apply(variables, top, mid, bot,
+                            jnp.full((B,), i - 1, jnp.int32),
+                            method=type(model).embed_cell_step)
+            h, kc, vc = model.apply(variables, x, kc, vc, sos_len + i - 1,
+                                    method=type(model).spatial_step)
+            key, ki = jax.random.split(key)
+            top_i, mid_i, bot_i = depth_sample(variables, h[:, -1], ki)
+            return (kc, vc, top_i, mid_i, bot_i, key), (top_i, mid_i, bot_i)
+
+        _, (tops, mids, bots) = jax.lax.scan(
+            body, (kc, vc, top0, mid0, bot0, key),
+            jnp.arange(1, max_seq_len))
+        tops = jnp.concatenate([top0[:, None], tops.T], axis=1)
+        mids = jnp.concatenate([mid0[:, None, :], mids.transpose(1, 0, 2)],
+                               axis=1)
+        bots = jnp.concatenate([bot0[:, None, :], bots.transpose(1, 0, 2)],
+                               axis=1)
+        return tops, mids, bots
+
+    return jax.jit(sample)

@@ -30,6 +30,7 @@ def main():
         os.path.dirname(__file__), '..', 'configs', 'imagenet', 'stage2',
         'hqtransformer-l12-top8x8.yaml'))
     ap.add_argument('--tiny', action='store_true')
+    ap.add_argument('--code-level', type=int, default=2, choices=[2, 3])
     ap.add_argument('--batch', type=int, default=4)
     ap.add_argument('--cls', type=int, default=207)
     ap.add_argument('--seed', type=int, default=0)
@@ -39,6 +40,18 @@ def main():
     args = ap.parse_args()
 
     cfg = build_twostage_config(args.config)
+    if args.code_level == 3:
+        cfg.stage1.type = 'hqvae'
+        cfg.stage1.hparams_aux.code_levels = 3
+        cfg.stage1.n_embed_levels = [cfg.stage1.n_embed] * 3
+        cfg.stage2.type = 'multilevel-hq'
+        cfg.stage2.decoding_type = 'parallel-add'
+        cfg.stage2.vocab_sizes_img = [cfg.stage1.n_embed] * 3
+        # 3-level pyramid needs one less conv downsample for the same
+        # top resolution (reference level-3 configs use ch_mult [1,2,4])
+        cfg.stage1.hparams.ch_mult = cfg.stage1.hparams.ch_mult[:-1]
+        cfg.stage1.hparams.attn_resolutions = [
+            cfg.stage1.hparams.attn_resolutions[0] * 2]
     if args.tiny:
         cfg.dataset.image_resolution = 64
         cfg.stage1.hparams.resolution = 64
@@ -48,7 +61,9 @@ def main():
         cfg.stage1.hparams.attn_resolutions = [16]
         cfg.stage1.embed_dim = 64
         cfg.stage1.n_embed = 512
+        cfg.stage1.n_embed_levels = [512] * 3
         cfg.stage2.vocab_size_img = 512
+        cfg.stage2.vocab_sizes_img = [512] * 3
         cfg.stage2.hparams.embed_dim = 128
         cfg.stage2.hparams.n_layers = 2
         cfg.stage2.hparams.n_heads = 4
@@ -64,29 +79,31 @@ def main():
     print(f'init {time.time() - t0:.1f}s | stage1 {n1/1e6:.1f}M '
           f'stage2 {n2/1e6:.1f}M params')
 
-    sp = SamplingParams(top_k_top=args.top_k, top_k_bot=args.top_k,
-                        top_p_top=None, top_p_bot=None,
-                        temperature_top=args.temperature,
-                        temperature_bot=args.temperature)
-    sampler = model.make_pixel_sampler(params=sp)
+    if args.code_level == 3:
+        sampler = model.make_pixel_sampler_multilevel(
+            top_k=(args.top_k,) * 3, temperature=(args.temperature,) * 3)
+    else:
+        sp = SamplingParams(top_k_top=args.top_k, top_k_bot=args.top_k,
+                            top_p_top=None, top_p_bot=None,
+                            temperature_top=args.temperature,
+                            temperature_bot=args.temperature)
+        sampler = model.make_pixel_sampler(params=sp)
     labels = jnp.full((args.batch,), args.cls, jnp.int32)
 
     t0 = time.time()
-    pixels, (codes_t, codes_b) = sampler(variables,
-                                         jax.random.PRNGKey(args.seed + 1),
-                                         labels)
+    pixels, codes = sampler(variables, jax.random.PRNGKey(args.seed + 1),
+                            labels)
     pixels.block_until_ready()
     print(f'compile+first sample: {time.time() - t0:.1f}s')
 
     t0 = time.time()
-    pixels, (codes_t, codes_b) = sampler(variables,
-                                         jax.random.PRNGKey(args.seed + 2),
-                                         labels)
+    pixels, codes = sampler(variables, jax.random.PRNGKey(args.seed + 2),
+                            labels)
     pixels.block_until_ready()
     dt = time.time() - t0
     print(f'sample: {dt:.3f}s ({args.batch / dt:.2f} samples/s) '
-          f'pixels {pixels.shape} codes_t {codes_t.shape} '
-          f'codes_b {codes_b.shape}')
+          f'pixels {pixels.shape} codes ' +
+          ' '.join(str(c.shape) for c in codes))
     assert np.isfinite(np.asarray(pixels)).all(), 'non-finite pixels'
     assert (np.asarray(pixels) >= 0).all() and (np.asarray(pixels) <= 1).all()
 
