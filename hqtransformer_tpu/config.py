@@ -255,9 +255,25 @@ def _instantiate_optional(ftype: Any):
     raise TypeError(f"cannot instantiate optional config of type {ftype}")
 
 
+class _YamlLoader(yaml.SafeLoader):
+    """SafeLoader that, unlike stock PyYAML, resolves '4e-5'-style floats
+    (no dot before the exponent) as floats, matching OmegaConf/YAML 1.2."""
+
+
+_YamlLoader.add_implicit_resolver(
+    'tag:yaml.org,2002:float',
+    __import__('re').compile(r'''^(?:
+        [-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+       |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+       |\.[0-9_]+(?:[eE][-+][0-9]+)?
+       |[-+]?\.(?:inf|Inf|INF)
+       |\.(?:nan|NaN|NAN))$''', __import__('re').X),
+    list('-+0123456789.'))
+
+
 def load_yaml(path: str) -> dict:
     with open(path, 'r') as fp:
-        return yaml.safe_load(fp)
+        return yaml.load(fp, Loader=_YamlLoader)
 
 
 def build_stage1_config(config_path: str) -> Stage1TrainConfig:

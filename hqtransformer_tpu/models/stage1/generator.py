@@ -178,9 +178,11 @@ class VQGANGenerator(nn.Module):
         quant, diff, code = self.quantize(h, update_ema=update_ema)
         return quant, diff, code
 
-    def decode(self, quant, deterministic: bool = True):
+    def decode(self, quant, deterministic: bool = True,
+               ret_pre_out: bool = False):
         quant = self.post_quant_conv(quant)
-        return self.decoder(quant, deterministic=deterministic)
+        return self.decoder(quant, deterministic=deterministic,
+                            ret_pre_out=ret_pre_out)
 
     def decode_code(self, code):
         quant = self.quantize.get_codebook_entry(code)
@@ -290,11 +292,13 @@ class SimRQGAN2Generator(nn.Module, _ResampleMixin):
                                                       update_ema=update_ema)
         return quant_t, quant_b, diff_t, diff_b, (code_t, code_b, h_b)
 
-    def decode(self, quant_t, quant_b, deterministic: bool = True):
+    def decode(self, quant_t, quant_b, deterministic: bool = True,
+               ret_pre_out: bool = False):
         quant_t = self.upsample_t(quant_t)
         quant = jnp.concatenate([quant_t, quant_b], axis=-1)
         quant = self.post_quant_conv_b(quant)
-        return self.decoder(quant, deterministic=deterministic)
+        return self.decoder(quant, deterministic=deterministic,
+                            ret_pre_out=ret_pre_out)
 
     def decode_code(self, code_t: Optional[jax.Array],
                     code_b: Optional[jax.Array]) -> jax.Array:
@@ -552,9 +556,11 @@ class HQVAEGenerator(nn.Module, _ResampleMixin):
             return recon, diffs, softs, codes, resids[1:]
         return recon, diffs, codes, resids[1:]
 
-    def decode(self, quant, deterministic: bool = True):
+    def decode(self, quant, deterministic: bool = True,
+               ret_pre_out: bool = False):
         quant = self.post_quant_conv_b(quant)
-        return self.decoder(quant, deterministic=deterministic)
+        return self.decoder(quant, deterministic=deterministic,
+                            ret_pre_out=ret_pre_out)
 
     def decode_code(self, codes: List[Optional[jax.Array]]) -> jax.Array:
         """Pixels from per-level [B, H, W] codes; None -> zeros

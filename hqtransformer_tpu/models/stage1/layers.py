@@ -201,7 +201,8 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z, deterministic: bool = True):
+    def __call__(self, z, deterministic: bool = True,
+                 ret_pre_out: bool = False):
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_resolutions - 1]
         curr_res = self.resolution // 2 ** (
@@ -235,7 +236,12 @@ class Decoder(nn.Module):
 
         h = groupnorm('norm_out', self.dtype)(h)
         h = swish(h)
+        pre = h
         h = conv(self.out_ch, 3, name='conv_out', dtype=self.dtype)(h)
+        if ret_pre_out:
+            # pre-conv_out features, used by the adaptive GAN weight
+            # (`discriminator.py:72-83` differentiates w.r.t. the last conv)
+            return h, pre
         return h
 
 
