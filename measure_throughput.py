@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Sampling-throughput harness — the `measure_throughput` surface of the
+reference (`/root/reference/measure_throughput/__main__.py:51-186`),
+TPU-native.
+
+Same protocol: batches of `batch_size`, ~1000 samples per loop, `n_loop`
+loops with `warmup` discarded, reporting ms/sample split into AR vs stage-1
+decode. Because the TPU pipeline fuses both phases into one XLA program, the
+split is measured by also timing a codes-only sampler (AR phase) and
+attributing the remainder to decode.
+
+  python measure_throughput.py model_path=<cfg.yaml> batch_size=50 n_loop=6
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from hqtransformer_tpu.config import build_twostage_config
+from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.sampling.engine import (SamplingParams,
+                                               make_hierarchical_sampler,
+                                               make_multilevel_sampler)
+
+
+def parse_kv_args(argv):
+    cfg = dict(model_path='', batch_size=50, n_loop=6, warmup=1,
+               top_resolution=8, code_levels=2, dtype='bfloat16')
+    for a in argv:
+        k, v = a.split('=', 1)
+        cfg[k] = type(cfg.get(k, v))(v) if k in cfg else v
+    return cfg
+
+
+def main():
+    a = parse_kv_args(sys.argv[1:])
+    cfg = build_twostage_config(a['model_path'])
+    dtype = jnp.bfloat16 if a['dtype'] == 'bfloat16' else jnp.float32
+    model = TwoStageModel(cfg, dtype=dtype)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+
+    n2 = sum(x.size for x in jax.tree.leaves(variables['stage2']))
+    print(f'bs{a["batch_size"]}, sampling loops '
+          f'{a["warmup"] + 1}-{a["n_loop"]}')
+    print(f'python {sys.version.split()[0]}, jax {jax.__version__}, '
+          f'devices {jax.devices()}')
+    print(f'transformer size: {n2 / 1e6:.1f}M')
+
+    bs = a['batch_size']
+    n_iter = (1000 + bs - 1) // bs
+    Ttop = a['top_resolution'] ** 2
+
+    if a['code_levels'] == 2:
+        ar_sampler = make_hierarchical_sampler(
+            model.stage2, Ttop, SamplingParams(), cache_dtype=dtype)
+        e2e_sampler = model.make_pixel_sampler(max_seq_len=Ttop,
+                                               cache_dtype=dtype)
+    else:
+        ar_sampler = make_multilevel_sampler(model.stage2, Ttop,
+                                             cache_dtype=dtype)
+        e2e_sampler = model.make_pixel_sampler_multilevel(
+            max_seq_len=Ttop, cache_dtype=dtype)
+
+    def run_ar(key, labels):
+        out = ar_sampler(variables['stage2'], key, labels)
+        jax.block_until_ready(out)
+
+    def run_e2e(key, labels):
+        pixels, _ = e2e_sampler(variables, key, labels)
+        pixels.block_until_ready()
+
+    labels = jnp.zeros((bs,), jnp.int32)
+    key = jax.random.PRNGKey(1)
+    run_ar(key, labels)   # compile
+    run_e2e(key, labels)  # compile
+
+    speeds, speeds_ar, speeds_decode = [], [], []
+    print('-' * 80)
+    for loop_idx in range(a['n_loop']):
+        t_ar = t_e2e = 0.0
+        for i in range(n_iter):
+            key, k1, k2 = jax.random.split(key, 3)
+            t0 = time.perf_counter()
+            run_ar(k1, labels)
+            t_ar += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run_e2e(k2, labels)
+            t_e2e += time.perf_counter() - t0
+        n = n_iter * bs
+        speed = t_e2e / n * 1000
+        speed_ar = t_ar / n * 1000
+        speed_decode = max(0.0, speed - speed_ar)
+        print(f'{loop_idx + 1}/{a["n_loop"]} | {speed:.3f} ms/sample '
+              f'(ar: {speed_ar:.3f}, decode: {speed_decode:.3f})')
+        if loop_idx >= a['warmup']:
+            speeds.append(speed)
+            speeds_ar.append(speed_ar)
+            speeds_decode.append(speed_decode)
+    print('-' * 80)
+    n = len(speeds)
+    print(f'bs{bs} | {sum(speeds) / n:.4f} ms/sample '
+          f'(ar: {sum(speeds_ar) / n:.4f}, '
+          f'decode: {sum(speeds_decode) / n:.4f})')
+    print('=' * 80)
+
+
+if __name__ == '__main__':
+    main()
