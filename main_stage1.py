@@ -151,6 +151,9 @@ def main():
     loader_cfg = LoaderConfig(batch_size=global_bs, resolution=res,
                               dataset_name=cfg.dataset.dataset or 'imagenet',
                               train=True, seed=args.seed)
+    assert len(train_ds) >= global_bs, (
+        f'dataset ({len(train_ds)} images) smaller than one global batch '
+        f'({global_bs}); reduce local_batch_size')
     step = 0
     t0 = time.time()
     for epoch in range(10 ** 9):

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Stage-2 HQ-Transformer training CLI.
+
+The reference ships the `ImageGPT2` training module but deliberately not the
+launch script (`/root/reference/configs/README.md:27`); this provides the
+full capability: frozen stage-1 code extraction, weighted hierarchical CE
+(optionally soft-target), AdamW with the minDALL-E decay split, warmup-cosine
+LR, data/tensor-parallel sharding over a `jax.sharding.Mesh`.
+
+  python main_stage2.py -c configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml \
+      -r results/ --data-root /data/imagenet --stage1-ckpt <ckpt> [--tp 1]
+"""
+
+import argparse
+import os
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hqtransformer_tpu.checkpoint import (convert_torch_state_dict,
+                                          load_torch_checkpoint,
+                                          save_checkpoint)
+from hqtransformer_tpu.config import build_twostage_config
+from hqtransformer_tpu.data.datasets import DataLoader, LoaderConfig, \
+    build_dataset
+from hqtransformer_tpu.data.tokenizers import create_tokenizer
+from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                             replicated,
+                                             stage2_param_sharding)
+from hqtransformer_tpu.train.scheduler import build_schedule_from_config
+from hqtransformer_tpu.train.stage2 import (TrainState, make_optimizer,
+                                            make_train_step)
+from hqtransformer_tpu.utils.logging import RunLogger
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('-c', '--config-path', type=str, required=True)
+    ap.add_argument('-r', '--result-path', type=str, default='./results')
+    ap.add_argument('--data-root', type=str, required=True)
+    ap.add_argument('--stage1-ckpt', type=str, default=None,
+                    help='stage-1 weights: reference .ckpt or orbax dir')
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--max-steps', type=int, default=None)
+    ap.add_argument('--tp', type=int, default=1,
+                    help='tensor-parallel mesh axis size')
+    ap.add_argument('--vocab-dir', type=str, default=None)
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = build_twostage_config(args.config_path)
+    now = datetime.now().strftime('%d%m%Y_%H%M%S')
+    run_dir = os.path.join(args.result_path,
+                           os.path.basename(args.config_path).split('.')[0],
+                           now)
+    logger = RunLogger(run_dir, cfg)
+    logger.line(f'devices: {jax.devices()}')
+
+    model = TwoStageModel(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(args.seed))
+    if args.stage1_ckpt:
+        sd = load_torch_checkpoint(args.stage1_ckpt)
+        if any(k.startswith('generator.') for k in sd):
+            sd = {k[len('generator.'):]: v for k, v in sd.items()
+                  if k.startswith('generator.')}
+        elif any(k.startswith('stage1.') for k in sd):
+            sd = {k[len('stage1.'):]: v for k, v in sd.items()
+                  if k.startswith('stage1.')}
+        variables['stage1'] = convert_torch_state_dict(
+            sd, variables['stage1'])
+        logger.line(f'stage1 restored from {args.stage1_ckpt}')
+    else:
+        logger.line('WARNING: training stage-2 against a RANDOM stage-1 '
+                    '(pass --stage1-ckpt for real runs)')
+
+    # ------------------------------------------------------------- data
+    use_txt = bool(cfg.stage2.use_txt_cond)
+    tokenizer = None
+    if use_txt:
+        tokenizer = create_tokenizer(cfg.dataset.tokenizer_type,
+                                     vocab_dir=args.vocab_dir,
+                                     dropout=cfg.dataset.bpe_pdrop)
+    res = cfg.dataset.image_resolution
+    n_dev = jax.device_count()
+    dp = n_dev // args.tp
+    global_bs = cfg.experiment.local_batch_size * dp
+    train_ds = build_dataset(cfg.dataset.dataset or 'imagenet',
+                             args.data_root, 'train', tokenizer,
+                             cfg.dataset.context_length)
+    steps_per_epoch = max(1, len(train_ds) // global_bs)
+    total_steps = args.max_steps or steps_per_epoch * cfg.experiment.epochs
+    logger.line(f'{len(train_ds)} images, {steps_per_epoch} steps/epoch, '
+                f'{total_steps} steps, global batch {global_bs}, '
+                f'mesh dp={dp} tp={args.tp}')
+
+    # ------------------------------------------------------------ training
+    mesh = make_mesh(dp=dp, tp=args.tp)
+    schedule = build_schedule_from_config(cfg.optimizer, steps_per_epoch,
+                                          total_steps, world_size=n_dev)
+    opt = make_optimizer(cfg.optimizer, schedule)
+    multilevel = 'multilevel-hq' in cfg.stage2.type
+    train_step = make_train_step(
+        model.stage2, model.stage1, opt,
+        weight_bottom=cfg.stage2.weight_bottom or 4.0,
+        weight_img=cfg.stage2.weight_img, weight_txt=cfg.stage2.weight_txt,
+        temp_soft_labels=cfg.stage2.temp_soft_labels,
+        use_cond=bool(cfg.stage2.use_cls_cond or use_txt),
+        multilevel=multilevel)
+    jit_step = jax.jit(train_step)
+
+    with mesh:
+        params = jax.device_put(
+            variables['stage2']['params'],
+            stage2_param_sharding(mesh, variables['stage2']['params']))
+        state = TrainState(jnp.zeros((), jnp.int32), params,
+                           opt.init(params))
+        stage1_vars = jax.device_put(
+            variables['stage1'],
+            jax.tree.map(lambda _: replicated(mesh), variables['stage1']))
+        x_sharding = batch_sharding(mesh)
+
+        loader_cfg = LoaderConfig(batch_size=global_bs, resolution=res,
+                                  dataset_name=cfg.dataset.dataset or
+                                  'imagenet', train=True, seed=args.seed)
+        assert len(train_ds) >= global_bs, (
+            f'dataset ({len(train_ds)} images) smaller than one global '
+            f'batch ({global_bs}); reduce local_batch_size')
+        step, t0 = 0, time.time()
+        for epoch in range(10 ** 9):
+            loader_cfg.seed = args.seed + epoch
+            for x_np, labels_np in DataLoader(train_ds, loader_cfg):
+                x = jax.device_put(jnp.asarray(x_np), x_sharding)
+                labels = jax.device_put(
+                    jnp.asarray(labels_np).astype(jnp.int32), x_sharding)
+                state, metrics = jit_step(state, stage1_vars, x, labels)
+                step += 1
+                if step % 50 == 0 or step == 1:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = (time.time() - t0) / step
+                    logger.line(f'step {step}/{total_steps} '
+                                f'({global_bs / dt:.1f} img/s) ' +
+                                ' '.join(f'{k}={v:.4f}'
+                                         for k, v in sorted(m.items())))
+                    logger.scalars(m, step)
+                if step >= total_steps:
+                    break
+            if step >= total_steps:
+                break
+            if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0:
+                save_checkpoint(os.path.join(run_dir, 'ckpt'),
+                                jax.device_get(state.params), step)
+                logger.line(f'checkpoint saved @ step {step}')
+
+    save_checkpoint(os.path.join(run_dir, 'ckpt'),
+                    jax.device_get(state.params), step)
+    logger.line(f'final checkpoint saved @ step {step}')
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()
