@@ -267,3 +267,81 @@ def restore_checkpoint(path: str, step: int = 0, template: Any = None) -> Any:
     if template is not None:
         return ckptr.restore(os.path.join(path, str(step)), item=template)
     return ckptr.restore(os.path.join(path, str(step)))
+
+
+# ---------------------------------------------------------------------------
+# flax -> torch export (round-trip inverse of convert_torch_state_dict)
+# ---------------------------------------------------------------------------
+
+_INV_PATTERNS = [
+    (re.compile(r'^(down|up)_(\d+)_(block|attn)_(\d+)$'),
+     lambda m: f'{m.group(1)}.{m.group(2)}.{m.group(3)}.{m.group(4)}'),
+    (re.compile(r'^(down|up)_(\d+)_(downsample|upsample)$'),
+     lambda m: f'{m.group(1)}.{m.group(2)}.{m.group(3)}'),
+    (re.compile(r'^mid_(block_1|attn_1|block_2)$'),
+     lambda m: f'mid.{m.group(1)}'),
+    (re.compile(r'^(downsamples|upsamples|quantizers|blocks|depths|'
+                r'emb_blocks|tok_emb_levels|tok_emb_depth_levels|'
+                r'pos_emb_depths|ln_levels|head_levels)_(\d+)$'),
+     lambda m: f'{m.group(1)}.{m.group(2)}'),
+    (re.compile(r'^upsample_t_0$'), lambda m: 'upsample_t.0'),
+    (re.compile(r'^main_(\d+)$'), lambda m: f'main.{m.group(1)}'),
+    (re.compile(r'^mlp_(\d+)$'), lambda m: f'mlp.{m.group(1)}'),
+]
+
+
+def _untranslate_segment(seg: str) -> str:
+    for pat, repl in _INV_PATTERNS:
+        m = pat.match(seg)
+        if m:
+            return repl(m)
+    return seg
+
+
+def export_torch_state_dict(variables: Mapping[str, Any],
+                            prefix: str = '') -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_state_dict: emit a torch-layout state_dict
+    (numpy arrays) from flax variables, so checkpoints trained here can be
+    loaded by the PyTorch reference."""
+    out: Dict[str, np.ndarray] = {}
+    for col, tree in variables.items():
+        for path, leaf in _flatten(tree).items():
+            arr = np.asarray(jax.device_get(leaf), np.float32)
+            segs = [_untranslate_segment(s) for s in path[:-1]]
+            leaf_name = path[-1]
+            base = '.'.join(segs)
+
+            def key(tail):
+                return f'{prefix}{base}.{tail}' if base else \
+                    f'{prefix}{tail}'
+            if col == 'ema':
+                out[key(leaf_name)] = arr
+                continue
+            if col == 'batch_stats':
+                tail = 'running_mean' if leaf_name == 'mean' else \
+                    'running_var'
+                out[key(tail)] = arr
+                continue
+            if leaf_name == 'kernel':
+                if arr.ndim == 4:
+                    # ConvTransposeUp keeps torch layout [Cin, Cout, k, k];
+                    # detect by name (upsample_t / upsamples.N with 4D kernel)
+                    seg_last = segs[-1] if segs else ''
+                    if seg_last.startswith('upsample') and \
+                            'upsample_t.0' not in seg_last:
+                        out[key('weight')] = arr
+                    else:
+                        out[key('weight')] = np.transpose(arr, (3, 2, 0, 1))
+                else:
+                    out[key('weight')] = np.transpose(arr)
+            elif leaf_name == 'scale':
+                out[key('weight')] = arr
+            elif leaf_name == 'embedding':
+                if segs and segs[-1].split('.')[-1].startswith('quantize'):
+                    # VectorQuantizer's nn.Embedding submodule
+                    out[key('embedding.weight')] = arr
+                else:
+                    out[key('weight')] = arr
+            else:
+                out[key(leaf_name)] = arr
+    return out

@@ -192,3 +192,27 @@ def build_dataset(name: str, root: str, split: str = 'train',
                             tokenizer, context_length)
         return ConcatDataset([cc3m, cc12m])
     raise ValueError(f'{name} is not a supported dataset')
+
+
+class CC3MTextOnly:
+    """Caption-only view of a CC3M tsv (`datasets/__init__.py:178-188`);
+    yields (dummy image index, token ids)."""
+
+    def __init__(self, root: str, tsv_name: str, tokenizer,
+                 context_length: int = 64):
+        self.captions: List[str] = []
+        with open(os.path.join(root, tsv_name)) as fp:
+            for ln in fp:
+                parts = ln.rstrip('\n').split('\t')
+                if len(parts) >= 2:
+                    self.captions.append(parts[1])
+        self.tokenizer = tokenizer
+        self.context_length = context_length
+
+    def __len__(self):
+        return len(self.captions)
+
+    def __getitem__(self, idx):
+        tokens = self.tokenizer.encode_padded(self.captions[idx],
+                                              self.context_length)
+        return idx, np.asarray(tokens, np.int32)

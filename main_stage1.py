@@ -131,6 +131,18 @@ def main():
                         g_opt.init(gvars['params']),
                         d_opt.init(dvars['params']))
 
+    if args.resume:
+        from hqtransformer_tpu.checkpoint import restore_checkpoint
+        import glob as _glob
+        steps = sorted(int(os.path.basename(p)) for p in
+                       _glob.glob(os.path.join(args.resume, '*'))
+                       if os.path.basename(p).isdigit())
+        assert steps, f'no checkpoint steps under {args.resume}'
+        restored = restore_checkpoint(args.resume, step=steps[-1],
+                                      template=state._asdict())
+        state = Stage1State(**restored)
+        logger.line(f'resumed from {args.resume} @ step {steps[-1]}')
+
     train_step = make_stage1_train_step(
         generator, discriminator, lpips, g_opt, d_opt, hd,
         bottom_start=None,

@@ -30,7 +30,8 @@ from hqtransformer_tpu.sampling.engine import (SamplingParams,
 
 def parse_kv_args(argv):
     cfg = dict(model_path='', batch_size=50, n_loop=6, warmup=1,
-               top_resolution=8, code_levels=2, dtype='bfloat16')
+               top_resolution=8, code_levels=2, dtype='bfloat16',
+               cond='cls')  # cls | txt (the measure_throughput_txt variant)
     for a in argv:
         k, v = a.split('=', 1)
         cfg[k] = type(cfg.get(k, v))(v) if k in cfg else v
@@ -74,7 +75,10 @@ def main():
         pixels, _ = e2e_sampler(variables, key, labels)
         pixels.block_until_ready()
 
-    labels = jnp.zeros((bs,), jnp.int32)
+    if a['cond'] == 'txt':
+        labels = jnp.zeros((bs, cfg.stage2.hparams.ctx_len_txt), jnp.int32)
+    else:
+        labels = jnp.zeros((bs,), jnp.int32)
     key = jax.random.PRNGKey(1)
     run_ar(key, labels)   # compile
     run_e2e(key, labels)  # compile
