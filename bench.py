@@ -32,8 +32,9 @@ from hqtransformer_tpu.models.twostage import TwoStageModel
 from hqtransformer_tpu.sampling.engine import SamplingParams
 
 BASELINE_SAMPLES_PER_SEC = 100.0
-CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'configs',
-                      'imagenet', 'stage2', 'hqtransformer-l12-top8x8.yaml')
+CONFIG = os.environ.get('BENCH_CONFIG', os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'configs', 'imagenet',
+    'stage2', 'hqtransformer-l12-top8x8.yaml'))
 
 
 def main():
@@ -43,6 +44,12 @@ def main():
     cfg = build_twostage_config(CONFIG)
     model = TwoStageModel(cfg, dtype=jnp.bfloat16)
     variables = model.init_variables(jax.random.PRNGKey(0))
+    # decode is HBM-bandwidth-bound on weights: store params in bf16 so each
+    # of the 64 scan steps streams half the bytes (f32 master copies are a
+    # training concern, not a sampling one)
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim >= 2 else x, variables)
 
     sp = SamplingParams(top_k_top=2048, top_k_bot=2048,
                         temperature_top=0.95, temperature_bot=0.95)

@@ -21,6 +21,7 @@ def cutoff_topk_logits(logits: jax.Array, k: Optional[int]) -> jax.Array:
     comparison)."""
     if k is None:
         return logits
+    k = min(k, logits.shape[-1])  # k >= vocab => no-op filter
     v = jax.lax.top_k(logits, k)[0]
     threshold = v[..., -1:]
     return jnp.where(logits < threshold, -jnp.inf, logits)
