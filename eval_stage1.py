@@ -77,9 +77,16 @@ def main():
         dec, diffs, codes = generator.apply(variables, x)
         return jnp.clip(dec, -1, 1), codes
 
+    @jax.jit
+    def recon_top(x):
+        (dec_t, dec_b, dec_tb), diffs, codes = generator.apply(
+            variables, x, method=type(generator).forward_topbottom)
+        return jnp.clip(dec_t, -1, 1)
+
     n_embed = cfg.stage1.n_embed
     usage = {}
     mse_sum, n_img = 0.0, 0
+    mse_top_sum = 0.0
     reals, fakes = [], []
     extractor = None
     if args.fid:
@@ -93,6 +100,10 @@ def main():
         mse_sum += float(jnp.sum(jnp.mean(jnp.square(dec - x),
                                           axis=(1, 2, 3))))
         n_img += x.shape[0]
+        if args.top_only:
+            dec_t = recon_top(x)
+            mse_top_sum += float(jnp.sum(jnp.mean(jnp.square(dec_t - x),
+                                                  axis=(1, 2, 3))))
         if args.code_usage:
             code_list = codes[:2] if isinstance(codes, tuple) else codes[:-1]
             for li, c in enumerate(code_list):
@@ -109,6 +120,8 @@ def main():
             break
 
     print(f'MSE: {mse_sum / n_img:.6f} over {n_img} images')
+    if args.top_only:
+        print(f'MSE (top-only recon): {mse_top_sum / n_img:.6f}')
     if args.code_usage:
         for li, u in sorted(usage.items()):
             frac = float((u > 0).mean())

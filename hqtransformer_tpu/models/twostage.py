@@ -186,6 +186,31 @@ class TwoStageModel:
 
         return jax.jit(sample_pixels)
 
+    def make_pixel_sampler_igpt(self, max_seq_len: Optional[int] = None,
+                                top_k: Optional[int] = 256,
+                                top_p: Optional[float] = None,
+                                temperature: float = 1.0,
+                                cache_dtype=None):
+        """Jitted sampler for the flat 'top' baseline: labels -> pixels via
+        top-only decode_code (the legacy `ImageGPT2.sample`,
+        `models/__init__.py:207-235`)."""
+        from ..sampling.engine import make_igpt_sampler
+        assert isinstance(self.stage2, IGPT)
+        Ttop = max_seq_len or self.top_res * self.top_res
+        sampler = make_igpt_sampler(self.stage2, Ttop, top_k=top_k,
+                                    top_p=top_p, temperature=temperature,
+                                    cache_dtype=cache_dtype)
+        res = int(math.isqrt(Ttop))
+
+        def sample_pixels(variables, key, labels):
+            codes = sampler(variables['stage2'], key, labels)
+            ct = codes.reshape(-1, res, res)
+            pixels = self.stage1.apply(variables['stage1'], ct, None,
+                                       method=type(self.stage1).decode_code)
+            return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0), codes
+
+        return jax.jit(sample_pixels)
+
     def make_pixel_sampler_multilevel(self, max_seq_len: Optional[int] = None,
                                       top_k=(None, None, None),
                                       top_p=(None, None, None),

@@ -241,11 +241,16 @@ def make_stage1_train_step(generator, discriminator,
     return train_step
 
 
-def make_stage1_optimizer(opt_cfg, schedule):
-    """Adam (`vqgan.py:101-109`) with optional global-norm clipping."""
+def make_stage1_optimizer(opt_cfg, schedule, accum_steps: int = 1):
+    """Adam (`vqgan.py:101-109`) with optional global-norm clipping and
+    optional gradient accumulation (optax.MultiSteps), matching the
+    reference's `grad_accm_steps` (`main_stage1.py:82-86`)."""
     txs = []
     if opt_cfg.grad_clip_norm and opt_cfg.grad_clip_norm > 0:
         txs.append(optax.clip_by_global_norm(opt_cfg.grad_clip_norm))
     betas = opt_cfg.betas or [0.9, 0.999]
     txs.append(optax.adam(learning_rate=schedule, b1=betas[0], b2=betas[1]))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx

@@ -112,9 +112,11 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def make_optimizer(opt_cfg, schedule):
+def make_optimizer(opt_cfg, schedule, accum_steps: int = 1):
     """AdamW + decay mask + global-norm clip (`models/__init__.py:446-448`,
-    grad_clip_norm in OptConfig)."""
+    grad_clip_norm in OptConfig). accum_steps > 1 wraps in optax.MultiSteps
+    (the reference's Lightning accumulate_grad_batches,
+    `main_stage1.py:82-86`)."""
     txs = []
     if opt_cfg.grad_clip_norm and opt_cfg.grad_clip_norm > 0:
         txs.append(optax.clip_by_global_norm(opt_cfg.grad_clip_norm))
@@ -122,7 +124,10 @@ def make_optimizer(opt_cfg, schedule):
                            b1=opt_cfg.betas[0], b2=opt_cfg.betas[1],
                            weight_decay=opt_cfg.weight_decay,
                            mask=decay_mask))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def make_train_step(model2, stage1, optimizer, *,

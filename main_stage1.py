@@ -86,9 +86,8 @@ def main():
     total_steps = args.max_steps or steps_per_epoch * cfg.experiment.epochs
     grad_accm = max(1, cfg.experiment.total_batch_size // global_bs)
     if grad_accm > 1:
-        logger.line(f'NOTE: total_batch_size wants {grad_accm}x grad accum; '
-                    'running without accumulation (per-step batch '
-                    f'{global_bs})')
+        logger.line(f'gradient accumulation x{grad_accm} '
+                    f'(effective batch {global_bs * grad_accm})')
     logger.line(f'{len(train_ds)} train images, {steps_per_epoch} steps/'
                 f'epoch, {total_steps} total steps, global batch {global_bs}')
 
@@ -124,8 +123,8 @@ def main():
 
     schedule = build_schedule_from_config(cfg.optimizer, steps_per_epoch,
                                           total_steps, world_size=n_dev)
-    g_opt = make_stage1_optimizer(cfg.optimizer, schedule)
-    d_opt = make_stage1_optimizer(cfg.optimizer, schedule)
+    g_opt = make_stage1_optimizer(cfg.optimizer, schedule, grad_accm)
+    d_opt = make_stage1_optimizer(cfg.optimizer, schedule, grad_accm)
     state = Stage1State(jnp.zeros((), jnp.int32), gvars['params'],
                         gvars['ema'], dvars['params'],
                         g_opt.init(gvars['params']),

@@ -106,7 +106,11 @@ def main():
     mesh = make_mesh(dp=dp, tp=args.tp)
     schedule = build_schedule_from_config(cfg.optimizer, steps_per_epoch,
                                           total_steps, world_size=n_dev)
-    opt = make_optimizer(cfg.optimizer, schedule)
+    grad_accm = max(1, cfg.experiment.total_batch_size // global_bs)
+    if grad_accm > 1:
+        logger.line(f'gradient accumulation x{grad_accm} '
+                    f'(effective batch {global_bs * grad_accm})')
+    opt = make_optimizer(cfg.optimizer, schedule, grad_accm)
     multilevel = 'multilevel-hq' in cfg.stage2.type
     train_step = make_train_step(
         model.stage2, model.stage1, opt,
