@@ -31,7 +31,8 @@ from hqtransformer_tpu.sampling.engine import (SamplingParams,
 def parse_kv_args(argv):
     cfg = dict(model_path='', batch_size=50, n_loop=6, warmup=1,
                top_resolution=8, code_levels=2, dtype='bfloat16',
-               cond='cls')  # cls | txt (the measure_throughput_txt variant)
+               cond='cls',  # cls | txt (the measure_throughput_txt variant)
+               profile='')  # dir for a jax.profiler trace of one loop
     for a in argv:
         k, v = a.split('=', 1)
         cfg[k] = type(cfg.get(k, v))(v) if k in cfg else v
@@ -82,6 +83,14 @@ def main():
     key = jax.random.PRNGKey(1)
     run_ar(key, labels)   # compile
     run_e2e(key, labels)  # compile
+
+    if a['profile']:
+        # capture one traced iteration for xprof/tensorboard
+        with jax.profiler.trace(a['profile']):
+            key, k1, k2 = jax.random.split(key, 3)
+            run_ar(k1, labels)
+            run_e2e(k2, labels)
+        print(f'profiler trace written to {a["profile"]}')
 
     speeds, speeds_ar, speeds_decode = [], [], []
     print('-' * 80)
