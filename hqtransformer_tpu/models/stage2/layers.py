@@ -116,9 +116,23 @@ class SelfAttention(nn.Module):
         Returns (y, k_cache', v_cache').
         """
         B, T_new, C = x.shape
-        q = _split_heads(self.query(x), self.n_heads)
-        k_new = _split_heads(self.key(x), self.n_heads)
-        v_new = _split_heads(self.value(x), self.n_heads)
+        # fused qkv: one [C, 3C] gemm instead of three [C, C] gemms — the
+        # weight concat is loop-invariant and hoisted out of the decode scan
+        w_qkv = jnp.concatenate([self.query.variables['params']['kernel'],
+                                 self.key.variables['params']['kernel'],
+                                 self.value.variables['params']['kernel']],
+                                axis=1)
+        qkv = jnp.dot(x, w_qkv.astype(x.dtype))
+        if self.attn_bias:
+            b_qkv = jnp.concatenate(
+                [self.query.variables['params']['bias'],
+                 self.key.variables['params']['bias'],
+                 self.value.variables['params']['bias']])
+            qkv = qkv + b_qkv.astype(x.dtype)
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.n_heads)
+        k_new = _split_heads(k_new, self.n_heads)
+        v_new = _split_heads(v_new, self.n_heads)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k_new.astype(k_cache.dtype), (0, 0, cache_len, 0))
         v_cache = jax.lax.dynamic_update_slice(
