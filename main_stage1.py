@@ -158,6 +158,35 @@ def main():
         lpips_vars = jax.device_put(lpips_vars, replicated(mesh))
     x_sharding = batch_sharding(mesh)
 
+    # validation + image logging (`vqgan.py:88-99`, `logger.py:49-73`)
+    @jax.jit
+    def eval_recon(state, x):
+        variables = {'params': state.gen_params, 'ema': state.ema}
+        dec, diffs, codes = generator.apply(variables, x)
+        rec = jnp.mean(jnp.square(x - dec))
+        return rec, jnp.clip(dec * 0.5 + 0.5, 0, 1)
+
+    def run_validation(state, step, max_batches=8):
+        vcfg = LoaderConfig(batch_size=min(cfg.experiment.valid_batch_size,
+                                           max(1, len(valid_ds))),
+                            resolution=res,
+                            dataset_name=cfg.dataset.dataset or 'imagenet',
+                            train=False)
+        recs, first = [], None
+        for bi, (x_np, _) in enumerate(DataLoader(valid_ds, vcfg)):
+            rec, dec01 = eval_recon(state, jnp.asarray(x_np))
+            recs.append(float(rec))
+            if first is None:
+                first = (np.asarray(x_np) * 0.5 + 0.5, np.asarray(dec01))
+            if bi + 1 >= max_batches:
+                break
+        if recs:
+            logger.line(f'valid/rec_loss {np.mean(recs):.5f} @ step {step}')
+            logger.scalars({'rec_loss': float(np.mean(recs))}, step, 'valid')
+        if first is not None:
+            logger.images('valid/input', first[0], step)
+            logger.images('valid/recon', first[1], step)
+
     # ------------------------------------------------------------- loop
     loader_cfg = LoaderConfig(batch_size=global_bs, resolution=res,
                               dataset_name=cfg.dataset.dataset or 'imagenet',
@@ -186,11 +215,14 @@ def main():
                 break
         if step >= total_steps:
             break
+        if (epoch + 1) % cfg.experiment.test_freq == 0:
+            run_validation(state, step)
         if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0:
             save_checkpoint(os.path.join(run_dir, 'ckpt'),
                             jax.device_get(state._asdict()), step)
             logger.line(f'checkpoint saved @ step {step}')
 
+    run_validation(state, step)
     save_checkpoint(os.path.join(run_dir, 'ckpt'),
                     jax.device_get(state._asdict()), step)
     logger.line(f'final checkpoint saved @ step {step}')

@@ -121,6 +121,61 @@ def main():
         multilevel=multilevel)
     jit_step = jax.jit(train_step)
 
+    from hqtransformer_tpu.train.stage2 import (cross_entropy,
+                                                hierarchical_loss,
+                                                multilevel_loss)
+
+    @jax.jit
+    def eval_step(params, stage1_vars, images, labels):
+        cond = labels if (cfg.stage2.use_cls_cond or use_txt) else None
+        B = images.shape[0]
+        if multilevel:
+            codes = model.stage1.apply(stage1_vars, images,
+                                       method=type(model.stage1).get_codes)
+            codes = [c.reshape(B, -1) for c in codes]
+            logits = model.stage2.apply({'params': params}, codes, cond)
+            _, m = multilevel_loss(logits, codes, None, labels,
+                                   weight_img=cfg.stage2.weight_img,
+                                   weight_txt=cfg.stage2.weight_txt)
+        else:
+            ct, cb = model.stage1.apply(stage1_vars, images,
+                                        method=type(model.stage1).get_codes)
+            ct, cb = ct.reshape(B, -1), cb.reshape(B, -1)
+            logits = model.stage2.apply({'params': params}, ct, cb, cond)
+            _, m = hierarchical_loss(
+                logits, (ct, cb), None, labels,
+                weight_bottom=cfg.stage2.weight_bottom or 4.0,
+                weight_img=cfg.stage2.weight_img,
+                weight_txt=cfg.stage2.weight_txt)
+        return m
+
+    def run_validation(params, stage1_vars, step, max_batches=8):
+        try:
+            valid_ds = build_dataset(cfg.dataset.dataset or 'imagenet',
+                                     args.data_root, 'val', tokenizer,
+                                     cfg.dataset.context_length)
+        except (FileNotFoundError, AssertionError):
+            return
+        vcfg = LoaderConfig(batch_size=min(cfg.experiment.valid_batch_size,
+                                           max(1, len(valid_ds))),
+                            resolution=res,
+                            dataset_name=cfg.dataset.dataset or 'imagenet',
+                            train=False)
+        all_m = {}
+        for bi, (x_np, l_np) in enumerate(DataLoader(valid_ds, vcfg)):
+            m = eval_step(params, stage1_vars, jnp.asarray(x_np),
+                          jnp.asarray(l_np).astype(jnp.int32))
+            for k, v in m.items():
+                all_m.setdefault(k, []).append(float(v))
+            if bi + 1 >= max_batches:
+                break
+        if all_m:
+            means = {k: float(np.mean(v)) for k, v in all_m.items()}
+            logger.line('valid ' + ' '.join(f'{k}={v:.4f}'
+                                            for k, v in sorted(means.items()))
+                        + f' @ step {step}')
+            logger.scalars(means, step, 'valid')
+
     with mesh:
         params = jax.device_put(
             variables['stage2']['params'],
@@ -159,6 +214,8 @@ def main():
                     break
             if step >= total_steps:
                 break
+            if (epoch + 1) % cfg.experiment.test_freq == 0:
+                run_validation(state.params, stage1_vars, step)
             if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0:
                 save_checkpoint(os.path.join(run_dir, 'ckpt'),
                                 jax.device_get(state.params), step)
