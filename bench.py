@@ -38,7 +38,7 @@ CONFIG = os.environ.get('BENCH_CONFIG', os.path.join(
 
 
 def main():
-    batch = int(os.environ.get('BENCH_BATCH', '128'))
+    batch = int(os.environ.get('BENCH_BATCH', '512'))
     n_loops = int(os.environ.get('BENCH_LOOPS', '3'))
 
     cfg = build_twostage_config(CONFIG)
@@ -58,16 +58,22 @@ def main():
     labels = jnp.arange(batch, dtype=jnp.int32) % 1000
     key = jax.random.PRNGKey(1)
 
+    def force(x):
+        # block_until_ready alone returns early on remote-tunneled backends
+        # (axon); a scalar fetch guarantees completion
+        x.block_until_ready()
+        return float(jnp.sum(x[0, 0, :1].astype(jnp.float32)))
+
     # warmup / compile
     pixels, _ = sampler(variables, key, labels)
-    pixels.block_until_ready()
+    force(pixels)
 
     times = []
     for i in range(n_loops):
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
         pixels, _ = sampler(variables, k, labels)
-        pixels.block_until_ready()
+        force(pixels)
         times.append(time.perf_counter() - t0)
 
     dt = min(times)

@@ -396,12 +396,10 @@ class HierarchicalGPT(nn.Module):
         x: [B, T_new, D]; caches: [L, B, nh, T_max, hd]. Returns (h after
         ln_f [B, T_new, D], k_cache', v_cache')
         (`hierarchical_ar.py:482-563`)."""
-        new_k, new_v = [], []
         for i, blk in enumerate(self.blocks):
-            x, k_i, v_i = blk.step(x, k_cache[i], v_cache[i], cache_len)
-            new_k.append(k_i)
-            new_v.append(v_i)
-        return self.ln_f(x), jnp.stack(new_k), jnp.stack(new_v)
+            x, k_cache, v_cache = blk.step_stacked(x, k_cache, v_cache, i,
+                                                   cache_len)
+        return self.ln_f(x), k_cache, v_cache
 
     def embed_cell_step(self, code_t: jax.Array, bot_cell: jax.Array,
                         position: jax.Array) -> jax.Array:

@@ -162,6 +162,65 @@ class SelfAttention(nn.Module):
                        v_cache.astype(x.dtype))
         return self.proj(_merge_heads(y)), k_cache, v_cache
 
+    def _fused_qkv(self, x):
+        """One [C, 3C] gemm (loop-invariant weight concat, hoisted out of
+        the decode scan) -> per-head q, k, v."""
+        w_qkv = jnp.concatenate([self.query.variables['params']['kernel'],
+                                 self.key.variables['params']['kernel'],
+                                 self.value.variables['params']['kernel']],
+                                axis=1)
+        qkv = jnp.dot(x, w_qkv.astype(x.dtype))
+        if self.attn_bias:
+            b_qkv = jnp.concatenate(
+                [self.query.variables['params']['bias'],
+                 self.key.variables['params']['bias'],
+                 self.value.variables['params']['bias']])
+            qkv = qkv + b_qkv.astype(x.dtype)
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        return (_split_heads(q, self.n_heads),
+                _split_heads(k_new, self.n_heads),
+                _split_heads(v_new, self.n_heads))
+
+    def step_stacked(self, x: jax.Array, k_caches: jax.Array,
+                     v_caches: jax.Array, layer_idx: int, cache_len,
+                     self_mask: Optional[jax.Array] = None
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Like `step`, but against STACKED caches [L, B, nh, T_max, hd]:
+        writes only this layer's [B, nh, T_new, hd] slice in place (XLA
+        aliases the scan-carry buffer) instead of the gather-modify-restack
+        pattern that copies the whole cache every layer of every step."""
+        B, T_new, C = x.shape
+        q, k_new, v_new = self._fused_qkv(x)
+        k_caches = jax.lax.dynamic_update_slice(
+            k_caches, k_new[None].astype(k_caches.dtype),
+            (layer_idx, 0, 0, cache_len, 0))
+        v_caches = jax.lax.dynamic_update_slice(
+            v_caches, v_new[None].astype(v_caches.dtype),
+            (layer_idx, 0, 0, cache_len, 0))
+
+        T_max = k_caches.shape[3]
+        pos = jnp.arange(T_max)
+        if self_mask is None:
+            self_mask = jnp.tril(jnp.ones((T_new, T_new), bool))
+        new_idx = pos - cache_len
+        is_past = pos < cache_len
+        in_new = (new_idx >= 0) & (new_idx < T_new)
+        sm = jnp.take_along_axis(
+            jnp.pad(self_mask, ((0, 0), (0, 1))),
+            jnp.clip(new_idx, 0, T_new)[None, :].repeat(T_new, 0), axis=1)
+        mask = is_past[None, :] | (in_new[None, :] & sm)
+
+        hd = q.shape[-1]
+        att = jnp.einsum('bhqd,bhkd->bhqk', q,
+                         k_caches[layer_idx].astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        att = att * (1.0 / np.sqrt(hd))
+        att = jnp.where(mask[None, None], att, NEG_INF)
+        att = jax.nn.softmax(att, axis=-1)
+        y = jnp.einsum('bhqk,bhkd->bhqd', att.astype(x.dtype),
+                       v_caches[layer_idx].astype(x.dtype))
+        return self.proj(_merge_heads(y)), k_caches, v_caches
+
 
 class CrossAttention(nn.Module):
     """Multi-head cross-attention (`layers.py:198-286`)."""
@@ -233,6 +292,14 @@ class Block(nn.Module):
         x = x + a
         x = x + self._mlp(self.ln2(x), True)
         return x, k_cache, v_cache
+
+    def step_stacked(self, x, k_caches, v_caches, layer_idx, cache_len,
+                     self_mask=None):
+        a, k_caches, v_caches = self.attn.step_stacked(
+            self.ln1(x), k_caches, v_caches, layer_idx, cache_len, self_mask)
+        x = x + a
+        x = x + self._mlp(self.ln2(x), True)
+        return x, k_caches, v_caches
 
 
 class DecoderBlock(nn.Module):

@@ -413,12 +413,10 @@ class MultiLevelHQTransformer(nn.Module):
     # --------------------------------------------------------- decode steps
     def spatial_step(self, x: jax.Array, k_cache, v_cache, cache_len):
         """Cached spatial step (same contract as HierarchicalGPT)."""
-        new_k, new_v = [], []
         for i, blk in enumerate(self.blocks):
-            x, k_i, v_i = blk.step(x, k_cache[i], v_cache[i], cache_len)
-            new_k.append(k_i)
-            new_v.append(v_i)
-        return self.ln_f(x), jnp.stack(new_k), jnp.stack(new_v)
+            x, k_cache, v_cache = blk.step_stacked(x, k_cache, v_cache, i,
+                                                   cache_len)
+        return self.ln_f(x), k_cache, v_cache
 
     def embed_cell_step(self, top: jax.Array, mid: jax.Array,
                         bot: jax.Array, position: jax.Array) -> jax.Array:

@@ -80,13 +80,11 @@ class IGPT(nn.Module):
 
     def decode_step(self, x: jax.Array, k_cache, v_cache, cache_len):
         """One cached spatial step -> (logits [B, V], caches)."""
-        new_k, new_v = [], []
         for i, blk in enumerate(self.blocks):
-            x, k_i, v_i = blk.step(x, k_cache[i], v_cache[i], cache_len)
-            new_k.append(k_i)
-            new_v.append(v_i)
+            x, k_cache, v_cache = blk.step_stacked(x, k_cache, v_cache, i,
+                                                   cache_len)
         logits = self.head(self.ln_f(x))[:, -1]
-        return logits, jnp.stack(new_k), jnp.stack(new_v)
+        return logits, k_cache, v_cache
 
 
 class Transformer1d(nn.Module):
@@ -155,10 +153,8 @@ class Transformer1d(nn.Module):
         return (self.tok_emb_img(codes) + self.pos_emb_img(pos))[:, None, :]
 
     def decode_step(self, x: jax.Array, k_cache, v_cache, cache_len):
-        new_k, new_v = [], []
         for i, blk in enumerate(self.blocks):
-            x, k_i, v_i = blk.step(x, k_cache[i], v_cache[i], cache_len)
-            new_k.append(k_i)
-            new_v.append(v_i)
+            x, k_cache, v_cache = blk.step_stacked(x, k_cache, v_cache, i,
+                                                   cache_len)
         logits = self.head_img(self.ln_f(x))[:, -1]
-        return logits, jnp.stack(new_k), jnp.stack(new_v)
+        return logits, k_cache, v_cache

@@ -161,12 +161,14 @@ class TwoStageModel:
     # ------------------------------------------------------------- sampling
     def make_pixel_sampler(self, max_seq_len: Optional[int] = None,
                            params: SamplingParams = SamplingParams(),
-                           cache_dtype=None):
+                           cache_dtype=None, decode_chunk: int = 128):
         """Jitted end-to-end sampler: labels -> pixels in [0, 1].
 
         Fuses the AR loop and the stage-1 `decode_code` into one XLA program
         (the reference splits them and chunks decode per-sample,
-        `sampling_hqmodel.py:188-199`).
+        `sampling_hqmodel.py:188-199`). The conv decoder runs in chunks of
+        `decode_chunk` samples (its 256^2 activations at large batch would
+        exceed HBM; the AR loop itself scales past batch 512).
         """
         assert isinstance(self.stage2, HierarchicalGPT)
         Ttop = max_seq_len or self.top_res * self.top_res
@@ -174,15 +176,29 @@ class TwoStageModel:
                                             cache_dtype=cache_dtype)
         top_res = int(math.isqrt(Ttop))
 
+        def decode(variables, ct, cb):
+            pixels = self.stage1.apply(variables['stage1'], ct, cb,
+                                       method=type(self.stage1).decode_code)
+            return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0)
+
         def sample_pixels(variables, key, labels):
+            B = labels.shape[0]
             codes_t, codes_b = sampler(variables['stage2'], key, labels)
             ct = codes_t.reshape(-1, top_res, top_res)
             cb_raster = cells_to_raster(codes_b, top_res, self.cell_win)
             cb = cb_raster.reshape(-1, top_res * self.cell_win,
                                    top_res * self.cell_win)
-            pixels = self.stage1.apply(variables['stage1'], ct, cb,
-                                       method=type(self.stage1).decode_code)
-            return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0), (codes_t, codes_b)
+            chunk = min(decode_chunk, B)
+            if B % chunk == 0 and B > chunk:
+                n = B // chunk
+                pixels = jax.lax.map(
+                    lambda args: decode(variables, *args),
+                    (ct.reshape(n, chunk, *ct.shape[1:]),
+                     cb.reshape(n, chunk, *cb.shape[1:])))
+                pixels = pixels.reshape(B, *pixels.shape[2:])
+            else:
+                pixels = decode(variables, ct, cb)
+            return pixels, (codes_t, codes_b)
 
         return jax.jit(sample_pixels)
 

@@ -66,17 +66,17 @@ def _depth_sample_parallel(model: HierarchicalGPT, variables, h, key,
         logits_bot, kv = model.apply(
             variables, prev_codes, kv, g,
             method=HierarchicalGPT.depth_second_logits)  # [B, n, Vb]
-        group = []
-        for j in range(n):
-            key, kj = jax.random.split(key)
-            group.append(sample_from_logits(
-                kj, logits_bot[:, j], temperature=sp.temperature_bot,
-                top_k=sp.top_k_bot, top_p=sp.top_p_bot))
-        bots.extend(group)
+        # one batched filtered-categorical draw for the whole group (the n
+        # positions are conditionally independent given the top code)
+        key, kg = jax.random.split(key)
+        group = sample_from_logits(kg, logits_bot,
+                                   temperature=sp.temperature_bot,
+                                   top_k=sp.top_k_bot, top_p=sp.top_p_bot)
+        bots.append(group)
         # reference quirk: next group is conditioned on these codes through
         # tok_emb_top_depth (`hierarchical_ar.py:697-701`)
-        prev_codes = jnp.stack(group, axis=1)
-    return top, jnp.stack(bots, axis=1)  # [B], [B, r]
+        prev_codes = group
+    return top, jnp.concatenate(bots, axis=1)  # [B], [B, r]
 
 
 def _depth_sample_bidirectional(model: HierarchicalGPT, variables, h, key,

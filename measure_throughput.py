@@ -70,11 +70,12 @@ def main():
 
     def run_ar(key, labels):
         out = ar_sampler(variables['stage2'], key, labels)
-        jax.block_until_ready(out)
+        # scalar fetch: block_until_ready returns early on tunneled backends
+        return float(jnp.sum(jax.tree.leaves(out)[0][0, :1]))
 
     def run_e2e(key, labels):
         pixels, _ = e2e_sampler(variables, key, labels)
-        pixels.block_until_ready()
+        return float(jnp.sum(pixels[0, 0, :1].astype(jnp.float32)))
 
     if a['cond'] == 'txt':
         labels = jnp.zeros((bs, cfg.stage2.hparams.ctx_len_txt), jnp.int32)
