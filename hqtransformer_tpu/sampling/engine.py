@@ -170,7 +170,8 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
                               max_seq_len: int = 64,
                               params: SamplingParams = SamplingParams(),
                               use_given_top: bool = False,
-                              cache_dtype=None):
+                              cache_dtype=None,
+                              n_segments: int = 2):
     """Build a jitted sampler for the 2-level model.
 
     Returns fn(variables, key, labels[, given_top_codes])
@@ -179,6 +180,12 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
     `labels`: [B] int class ids (cls-cond), [B, ctx_len_txt] token ids
     (txt-cond), or [B] dummy (uncond — only the batch size is used).
     Equivalent of `sampling_ihqgpt` (`hqvae/utils/sampling.py:164-237`).
+
+    `n_segments` splits the scan into segments with growing static cache
+    sizes: every step's attention reads the whole (static-shape) cache, so
+    early steps over a full-length cache waste HBM bandwidth — two segments
+    cut average cache traffic ~25% for free (cache copy between segments is
+    one small slice write).
     """
     depth_fn = _DEPTH_SAMPLERS[model.depth_mode]
     hp = model.hparams
@@ -187,13 +194,25 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
     n_layers = hp.n_layers
     sos_len = hp.ctx_len_txt if model.use_txt_cond else 1
 
+    # segment boundaries over spatial steps [1, max_seq_len)
+    bounds = []
+    prev = 1
+    for si in range(n_segments):
+        end = max_seq_len * (si + 1) // n_segments if si < n_segments - 1 \
+            else max_seq_len
+        if end > prev:
+            bounds.append((prev, end))
+            prev = end
+    if not bounds:
+        bounds = [(1, max_seq_len)]
+
     def sample(variables, key, labels, given_top_codes=None):
         B = labels.shape[0]
         sos = model.apply(variables, B, labels,
                           method=HierarchicalGPT.sos_tokens)
-        t_max = sos_len + max_seq_len - 1
         cdtype = cache_dtype or sos.dtype
-        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        t0_max = sos_len + bounds[0][1] - 1
+        kc = jnp.zeros((n_layers, B, n_heads, t0_max, hd), cdtype)
         vc = jnp.zeros_like(kc)
 
         # prefill conditioning prefix (`hierarchical_ar.py:493-504`)
@@ -219,9 +238,27 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
                                     given_top=gi)
             return (kc, vc, top_i, bot_i, key), (top_i, bot_i)
 
-        (kc, vc, _, _, _), (tops, bots) = jax.lax.scan(
-            body, (kc, vc, top0, bot0, key),
-            jnp.arange(1, max_seq_len))
+        carry = (kc, vc, top0, bot0, key)
+        all_tops, all_bots = [], []
+        for seg_i, (lo, hi) in enumerate(bounds):
+            if seg_i > 0:
+                # grow the cache to this segment's static size
+                kc, vc, pt, pb, key = carry
+                seg_t = sos_len + hi - 1
+                kc_big = jnp.zeros((n_layers, B, n_heads, seg_t, hd), cdtype)
+                vc_big = jnp.zeros_like(kc_big)
+                kc_big = jax.lax.dynamic_update_slice(
+                    kc_big, kc, (0, 0, 0, 0, 0))
+                vc_big = jax.lax.dynamic_update_slice(
+                    vc_big, vc, (0, 0, 0, 0, 0))
+                carry = (kc_big, vc_big, pt, pb, key)
+            carry, (tops, bots) = jax.lax.scan(body, carry,
+                                               jnp.arange(lo, hi))
+            all_tops.append(tops)
+            all_bots.append(bots)
+
+        tops = jnp.concatenate(all_tops, axis=0)
+        bots = jnp.concatenate(all_bots, axis=0)
         codes_t = jnp.concatenate([top0[:, None], tops.T], axis=1)
         codes_b = jnp.concatenate([bot0[:, None, :],
                                    bots.transpose(1, 0, 2)], axis=1)
