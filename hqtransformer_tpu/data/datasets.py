@@ -216,3 +216,39 @@ class CC3MTextOnly:
         tokens = self.tokenizer.encode_padded(self.captions[idx],
                                               self.context_length)
         return idx, np.asarray(tokens, np.int32)
+
+
+class PrefetchLoader:
+    """Wraps a DataLoader with a background thread pool so host-side image
+    decode/augmentation overlaps device steps (the reference leans on
+    torch DataLoader workers, `main_stage1.py:72`)."""
+
+    def __init__(self, loader, prefetch: int = 4, workers: int = 8):
+        self.loader = loader
+        self.prefetch = prefetch
+        self.workers = workers
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

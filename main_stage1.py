@@ -25,8 +25,9 @@ import numpy as np
 
 from hqtransformer_tpu.config import build_stage1_config
 from hqtransformer_tpu.checkpoint import save_checkpoint
-from hqtransformer_tpu.data.datasets import DataLoader, LoaderConfig, \
-    build_dataset
+from hqtransformer_tpu.data.datasets import (DataLoader, LoaderConfig,
+                                             PrefetchLoader,
+                                             build_dataset)
 from hqtransformer_tpu.models.stage1.generator import build_generator
 from hqtransformer_tpu.models.stage1.lpips import (LPIPS, load_torch_lpips_lins,
                                                    load_torch_vgg16)
@@ -198,7 +199,8 @@ def main():
     t0 = time.time()
     for epoch in range(10 ** 9):
         loader_cfg.seed = args.seed + epoch
-        for x_np, _ in DataLoader(train_ds, loader_cfg):
+        for x_np, _ in PrefetchLoader(DataLoader(train_ds,
+                                                 loader_cfg)):
             x = jax.device_put(jnp.asarray(x_np), x_sharding)
             key, k = jax.random.split(key)
             state, metrics = jit_step(state, lpips_vars, x, k)

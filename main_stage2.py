@@ -27,8 +27,9 @@ from hqtransformer_tpu.checkpoint import (convert_torch_state_dict,
                                           load_torch_checkpoint,
                                           save_checkpoint)
 from hqtransformer_tpu.config import build_twostage_config
-from hqtransformer_tpu.data.datasets import DataLoader, LoaderConfig, \
-    build_dataset
+from hqtransformer_tpu.data.datasets import (DataLoader, LoaderConfig,
+                                             PrefetchLoader,
+                                             build_dataset)
 from hqtransformer_tpu.data.tokenizers import create_tokenizer
 from hqtransformer_tpu.models.twostage import TwoStageModel
 from hqtransformer_tpu.parallel.mesh import (batch_sharding, make_mesh,
@@ -196,7 +197,8 @@ def main():
         step, t0 = 0, time.time()
         for epoch in range(10 ** 9):
             loader_cfg.seed = args.seed + epoch
-            for x_np, labels_np in DataLoader(train_ds, loader_cfg):
+            for x_np, labels_np in PrefetchLoader(
+                    DataLoader(train_ds, loader_cfg)):
                 x = jax.device_put(jnp.asarray(x_np), x_sharding)
                 labels = jax.device_put(
                     jnp.asarray(labels_np).astype(jnp.int32), x_sharding)
