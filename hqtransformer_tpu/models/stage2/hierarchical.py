@@ -421,11 +421,11 @@ class HierarchicalGPT(nn.Module):
         ks, vs = [], []
         for blk in self.depths:
             xn = blk.ln1(x)
-            q = _split_heads(blk.attn.query(xn), blk.attn.n_heads)
+            # single-token attention: softmax over one key is identically 1,
+            # so the attention output IS v — skip q and the softmax entirely
             k = _split_heads(blk.attn.key(xn), blk.attn.n_heads)
             v = _split_heads(blk.attn.value(xn), blk.attn.n_heads)
-            x = x + blk.attn.proj(_merge_heads(masked_attention(q, k, v,
-                                                                None)))
+            x = x + blk.attn.proj(_merge_heads(v))
             x = x + blk._mlp(blk.ln2(x), True)
             ks.append(k)
             vs.append(v)
