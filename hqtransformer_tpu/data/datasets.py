@@ -131,14 +131,30 @@ class LoaderConfig:
 
 class DataLoader:
     """Deterministic, shardable loader producing NHWC float32 [-1, 1]
-    batches + labels. Uses grain's multiprocess loader when available,
-    otherwise a simple in-process iterator."""
+    batches + labels. Per-item decode/augment fans out over a thread pool
+    of `cfg.num_workers` (PIL decode releases the GIL); determinism is
+    preserved because each item's augmentation RNG is keyed by (seed,
+    dataset index), not by worker order."""
 
     def __init__(self, dataset, cfg: LoaderConfig):
         self.dataset = dataset
         self.cfg = cfg
 
+    def _load_item(self, i: int):
+        cfg = self.cfg
+        img, label = self.dataset[int(i)]
+        item_rng = np.random.RandomState(
+            (cfg.seed * 1_000_003 + int(i)) % (2 ** 31))
+        if cfg.train:
+            arr = T.train_transform(img, cfg.resolution, item_rng,
+                                    cfg.dataset_name)
+        else:
+            arr = T.valid_transform(img, cfg.resolution)
+        return arr, label
+
     def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
         n = len(self.dataset)
         rng = np.random.RandomState(cfg.seed)
@@ -147,23 +163,23 @@ class DataLoader:
         bs = cfg.batch_size
         steps = len(order) // bs if cfg.drop_remainder else \
             (len(order) + bs - 1) // bs
-        for s in range(steps):
-            idxs = order[s * bs:(s + 1) * bs]
-            imgs, labels = [], []
-            for i in idxs:
-                img, label = self.dataset[int(i)]
-                item_rng = np.random.RandomState(
-                    (cfg.seed * 1_000_003 + int(i)) % (2 ** 31))
-                if cfg.train:
-                    arr = T.train_transform(img, cfg.resolution, item_rng,
-                                            cfg.dataset_name)
+        pool = ThreadPoolExecutor(max(1, cfg.num_workers)) \
+            if cfg.num_workers > 1 else None
+        try:
+            for s in range(steps):
+                idxs = order[s * bs:(s + 1) * bs]
+                if pool is not None:
+                    items = list(pool.map(self._load_item, idxs))
                 else:
-                    arr = T.valid_transform(img, cfg.resolution)
-                imgs.append(arr)
-                labels.append(label)
-            yield (np.stack(imgs),
-                   np.stack(labels) if np.ndim(labels[0]) else
-                   np.asarray(labels, np.int64))
+                    items = [self._load_item(i) for i in idxs]
+                imgs = [it[0] for it in items]
+                labels = [it[1] for it in items]
+                yield (np.stack(imgs),
+                       np.stack(labels) if np.ndim(labels[0]) else
+                       np.asarray(labels, np.int64))
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def __len__(self):
         n = len(self.dataset) // self.cfg.shard_count
@@ -219,14 +235,15 @@ class CC3MTextOnly:
 
 
 class PrefetchLoader:
-    """Wraps a DataLoader with a background thread pool so host-side image
-    decode/augmentation overlaps device steps (the reference leans on
-    torch DataLoader workers, `main_stage1.py:72`)."""
+    """Wraps a DataLoader with a background producer thread so host-side
+    batch assembly overlaps device steps (the reference leans on torch
+    DataLoader workers, `main_stage1.py:72`). Per-item decode parallelism
+    lives in DataLoader (`LoaderConfig.num_workers`); this wrapper only
+    pipelines whole batches."""
 
-    def __init__(self, loader, prefetch: int = 4, workers: int = 8):
+    def __init__(self, loader, prefetch: int = 4):
         self.loader = loader
         self.prefetch = prefetch
-        self.workers = workers
 
     def __len__(self):
         return len(self.loader)

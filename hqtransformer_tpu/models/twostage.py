@@ -189,13 +189,18 @@ class TwoStageModel:
             cb = cb_raster.reshape(-1, top_res * self.cell_win,
                                    top_res * self.cell_win)
             chunk = min(decode_chunk, B)
-            if B % chunk == 0 and B > chunk:
-                n = B // chunk
+            if B > chunk:
+                # pad to a chunk multiple so HBM-protective chunking holds
+                # for any batch size, then drop the padded decodes
+                n = -(-B // chunk)
+                pad = n * chunk - B
+                ct_p = jnp.pad(ct, ((0, pad), (0, 0), (0, 0)))
+                cb_p = jnp.pad(cb, ((0, pad), (0, 0), (0, 0)))
                 pixels = jax.lax.map(
                     lambda args: decode(variables, *args),
-                    (ct.reshape(n, chunk, *ct.shape[1:]),
-                     cb.reshape(n, chunk, *cb.shape[1:])))
-                pixels = pixels.reshape(B, *pixels.shape[2:])
+                    (ct_p.reshape(n, chunk, *ct.shape[1:]),
+                     cb_p.reshape(n, chunk, *cb.shape[1:])))
+                pixels = pixels.reshape(n * chunk, *pixels.shape[2:])[:B]
             else:
                 pixels = decode(variables, ct, cb)
             return pixels, (codes_t, codes_b)

@@ -90,7 +90,10 @@ def _sample_kernel(k_ref, logits_ref, u_ref, out_ref):
         excl, expand, preferred_element_type=jnp.float32)  # [TB, V]
 
     total = jnp.sum(p, axis=1, keepdims=True)
-    draw = u_ref[:].astype(jnp.float32) * total          # [TB, 1]
+    # clamp the draw strictly positive: u == 0.0 (p ~ 2^-23 per row) would
+    # otherwise select index 0 even when token 0 was filtered out (cdf == 0
+    # for every zero-mass prefix token)
+    draw = jnp.maximum(u_ref[:].astype(jnp.float32) * total, 1e-30)  # [TB, 1]
     idx = jnp.sum((cdf < draw).astype(jnp.int32), axis=1, keepdims=True)
     out_ref[:] = jnp.minimum(idx, v - 1)
 

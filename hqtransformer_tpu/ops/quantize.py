@@ -122,7 +122,12 @@ def ema_update(state: EMAState,
 
     if restart_unused_codes:
         assert restart_key is not None, 'restart_unused_codes needs a PRNG key'
-        vectors = _tile_with_noise(z32, n_embed, restart_key)
+        # noise-tile only when the batch has fewer vectors than codes; with
+        # enough vectors the raw z rows are used (`quantizer.py:117-124`)
+        if z32.shape[0] >= n_embed:
+            vectors = z32
+        else:
+            vectors = _tile_with_noise(z32, n_embed, restart_key)
         perm_key, _ = jax.random.split(restart_key)
         perm = jax.random.permutation(perm_key, vectors.shape[0])
         random_vectors = vectors[perm][:n_embed]
