@@ -88,16 +88,15 @@ def _depth_sample_bidirectional(model: HierarchicalGPT, variables, h, key,
     logits_top, logits_bot = model.apply(
         variables, h, method=HierarchicalGPT.depth_bidirectional)
     logits = jnp.concatenate([logits_top, logits_bot], axis=1)
-    outs = []
-    for j in range(logits.shape[1]):
-        key, kj = jax.random.split(key)
-        outs.append(sample_from_logits(
-            kj, logits[:, j], temperature=sp.temperature_top,
-            top_k=sp.top_k_bot, top_p=sp.top_p_bot))
-    top = outs[0]
+    # one batched filtered-categorical draw over all 1+r positions (they
+    # are conditionally independent given h, and share the same knobs)
+    key, kd = jax.random.split(key)
+    outs = sample_from_logits(kd, logits, temperature=sp.temperature_top,
+                              top_k=sp.top_k_bot, top_p=sp.top_p_bot)
+    top = outs[:, 0]
     if given_top is not None:
         top = given_top
-    return top, jnp.stack(outs[1:], axis=1)
+    return top, outs[:, 1:]
 
 
 def _depth_sample_top2bot(model: HierarchicalGPT, variables, h, key,
@@ -379,21 +378,17 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
         top = sample_from_logits(k0, l0, temperature=temperature[0],
                                  top_k=top_k[0], top_p=top_p[0])
         l1 = model.apply(variables, h, top, None, 1, method=ML.depth_phase)
-        mids = []
-        for j in range(4):
-            key, kj = jax.random.split(key)
-            mids.append(sample_from_logits(kj, l1[:, j],
-                                           temperature=temperature[1],
-                                           top_k=top_k[1], top_p=top_p[1]))
-        mids = jnp.stack(mids, axis=1)
+        # the 4 mid / 16 bot positions are conditionally independent given
+        # the parent codes (`hqtransformer.py:500-635` draws them from one
+        # depth pass) — one batched draw per level instead of 4+16 serial
+        key, k1 = jax.random.split(key)
+        mids = sample_from_logits(k1, l1, temperature=temperature[1],
+                                  top_k=top_k[1], top_p=top_p[1])
         l2 = model.apply(variables, h, top, mids, 2, method=ML.depth_phase)
-        bots = []
-        for j in range(16):
-            key, kj = jax.random.split(key)
-            bots.append(sample_from_logits(kj, l2[:, j],
-                                           temperature=temperature[2],
-                                           top_k=top_k[2], top_p=top_p[2]))
-        return top, mids, jnp.stack(bots, axis=1)
+        key, k2 = jax.random.split(key)
+        bots = sample_from_logits(k2, l2, temperature=temperature[2],
+                                  top_k=top_k[2], top_p=top_p[2])
+        return top, mids, bots
 
     def sample(variables, key, labels):
         B = labels.shape[0]
