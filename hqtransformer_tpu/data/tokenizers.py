@@ -14,21 +14,24 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
-DEFAULT_VOCAB_DIRS = (
-    '/root/reference/hqvae/tokenizers/pretrained',
-    '/root/reference/checkpoints',
-)
-
-
 def _find(vocab_dir: Optional[str], *names: str) -> str:
-    dirs = [vocab_dir] if vocab_dir else list(DEFAULT_VOCAB_DIRS)
-    for d in dirs:
-        for n in names:
-            p = os.path.join(d, n)
-            if os.path.exists(p):
-                return p
-    raise FileNotFoundError(f'{names} not found under {dirs}; pass '
-                            f'vocab_dir= with the tokenizer assets')
+    """Resolve a tokenizer asset. The location must be explicit: pass
+    `vocab_dir=` (the CLIs expose `--vocab-dir`) or set HQT_VOCAB_DIR.
+    There is deliberately NO implicit default — vocab files are external
+    data assets, not part of this framework."""
+    if vocab_dir is None:
+        vocab_dir = os.environ.get('HQT_VOCAB_DIR')
+    if not vocab_dir:
+        raise FileNotFoundError(
+            f'tokenizer asset {names} requires an explicit location: pass '
+            f'vocab_dir= / --vocab-dir or set HQT_VOCAB_DIR to a directory '
+            f'containing the vocab files (the reference bundles them under '
+            f'hqvae/tokenizers/pretrained/ and checkpoints/)')
+    for n in names:
+        p = os.path.join(vocab_dir, n)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f'{names} not found under {vocab_dir}')
 
 
 class HFTokenizerWrapper:

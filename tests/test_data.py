@@ -66,8 +66,16 @@ def test_tokenizer_padding():
     if not os.path.isdir('/root/reference'):
         pytest.skip('reference vocab assets unavailable')
     from hqtransformer_tpu.data.tokenizers import create_tokenizer
-    tok = create_tokenizer('bpe16k_huggingface')
+    # asset locations are explicit by design (no implicit reference-mount
+    # fallback); the test supplies the dir like a user would
+    tok = create_tokenizer(
+        'bpe16k_huggingface',
+        vocab_dir='/root/reference/hqvae/tokenizers/pretrained')
     ids = tok.encode_padded('a small test caption', 16)
     assert len(ids) == 16
     ids2 = tok.encode_padded('a small test caption', 16)
     assert ids == ids2
+
+    with pytest.raises(FileNotFoundError, match='explicit location'):
+        os.environ.pop('HQT_VOCAB_DIR', None)
+        create_tokenizer('bpe16k_huggingface')
