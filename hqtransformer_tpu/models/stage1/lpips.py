@@ -105,6 +105,30 @@ def load_torch_vgg16(variables: Dict, vgg_state_dict) -> Dict:
     return {'params': params}
 
 
+def load_reference_lpips(variables: Dict, state_dict) -> Dict:
+    """Copy a FULL reference `LPIPS.state_dict()` — the sliced-VGG layout
+    `net.slice{1..5}.{seq}.weight/bias` (`lpips.py:67-86`) plus
+    `lin{i}.model.1.weight` heads — into this module's params."""
+    params = jax.device_get(variables)['params']
+    slice_of_seq = {}
+    for s, (lo, hi) in enumerate([(0, 4), (4, 9), (9, 16), (16, 23),
+                                  (23, 30)], start=1):
+        for seq in range(lo, hi):
+            slice_of_seq[seq] = s
+    for seq_idx, _ in VGG16_CONVS:
+        s = slice_of_seq[seq_idx]
+        w = np.asarray(state_dict[f'net.slice{s}.{seq_idx}.weight'])
+        b = np.asarray(state_dict[f'net.slice{s}.{seq_idx}.bias'])
+        leaf = params['net'][f'conv_{seq_idx}']
+        leaf['kernel'] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+        leaf['bias'] = jnp.asarray(b)
+    for i in range(len(LPIPS_CHNS)):
+        w = np.asarray(state_dict[f'lin{i}.model.1.weight'])
+        params[f'lin{i}']['kernel'] = jnp.asarray(
+            np.transpose(w, (2, 3, 1, 0)))
+    return {'params': params}
+
+
 def load_torch_lpips_lins(variables: Dict, lpips_state_dict) -> Dict:
     """Copy taming/PerceptualSimilarity 'lin{i}.model.1.weight' 1x1 convs."""
     params = jax.device_get(variables)['params']
