@@ -49,11 +49,15 @@ def main():
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--parts', type=str,
                     default='dispatch,spatial,embed,p1,p2,sample')
+    ap.add_argument('--approx-gelu', action='store_true',
+                    help='diagnostic: sigmoid gelu instead of exact erf')
     args = ap.parse_args()
     B = args.batch
     parts = args.parts.split(',')
 
     cfg = build_twostage_config(CONFIG)
+    if args.approx_gelu:
+        cfg.stage2.hparams.gelu_use_approx = True
     model = TwoStageModel(cfg, dtype=jnp.bfloat16)
     variables = model.init_variables(jax.random.PRNGKey(0))
     variables = jax.tree.map(
