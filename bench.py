@@ -53,8 +53,9 @@ def main():
 
     sp = SamplingParams(top_k_top=2048, top_k_bot=2048,
                         temperature_top=0.95, temperature_bot=0.95)
-    sampler = model.make_pixel_sampler(params=sp,
-                                       cache_dtype=jnp.bfloat16)
+    sampler = model.make_pipelined_sampler(params=sp,
+                                           cache_dtype=jnp.bfloat16,
+                                           n_segments=4)
     labels = jnp.arange(batch, dtype=jnp.int32) % 1000
     key = jax.random.PRNGKey(1)
 
@@ -64,15 +65,20 @@ def main():
         x.block_until_ready()
         return float(jnp.sum(x[0, 0, :1].astype(jnp.float32)))
 
-    # warmup / compile
-    pixels, _ = sampler(variables, key, labels)
+    # Steady-state software pipeline: each program call runs the AR loop
+    # for batch i while decoding batch i-1's codes to pixels, so every
+    # timed call emits exactly `batch` finished samples (the reference
+    # harness likewise measures a steady loop over batches,
+    # `measure_throughput/__main__.py:82-157`).
+    key, k = jax.random.split(key)
+    codes, pixels = sampler(variables, k, labels, None)   # warmup + prefill
     force(pixels)
 
     times = []
     for i in range(n_loops):
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
-        pixels, _ = sampler(variables, k, labels)
+        codes, pixels = sampler(variables, k, labels, codes)
         force(pixels)
         times.append(time.perf_counter() - t0)
 

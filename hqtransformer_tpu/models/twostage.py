@@ -207,6 +207,66 @@ class TwoStageModel:
 
         return jax.jit(sample_pixels)
 
+    def make_pipelined_sampler(self, max_seq_len: Optional[int] = None,
+                               params: SamplingParams = SamplingParams(),
+                               cache_dtype=None, decode_chunk: int = 128,
+                               n_segments: int = 2):
+        """Software-pipelined sampler for steady-state throughput:
+        fn(variables, key, labels, prev_codes) -> (codes, pixels) where
+        `pixels` decodes PREV_CODES (the previous batch) while the AR loop
+        samples the current batch — one program per batch, every call
+        emitting a full batch of finished samples. Pass prev_codes=None on
+        the first call to decode the current batch instead (pipeline fill).
+        """
+        assert isinstance(self.stage2, HierarchicalGPT)
+        Ttop = max_seq_len or self.top_res * self.top_res
+        sampler = make_hierarchical_sampler(self.stage2, Ttop, params,
+                                            cache_dtype=cache_dtype,
+                                            n_segments=n_segments)
+        top_res = int(math.isqrt(Ttop))
+
+        def decode(variables, codes_t, codes_b):
+            B = codes_t.shape[0]
+            ct = codes_t.reshape(-1, top_res, top_res)
+            cb = cells_to_raster(codes_b, top_res, self.cell_win).reshape(
+                -1, top_res * self.cell_win, top_res * self.cell_win)
+            chunk = min(decode_chunk, B)
+
+            def dec1(ct, cb):
+                px = self.stage1.apply(variables['stage1'], ct, cb,
+                                       method=type(self.stage1).decode_code)
+                return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
+
+            if B > chunk:
+                n = -(-B // chunk)
+                pad = n * chunk - B
+                ct_p = jnp.pad(ct, ((0, pad), (0, 0), (0, 0)))
+                cb_p = jnp.pad(cb, ((0, pad), (0, 0), (0, 0)))
+                px = jax.lax.map(lambda a: dec1(*a),
+                                 (ct_p.reshape(n, chunk, *ct.shape[1:]),
+                                  cb_p.reshape(n, chunk, *cb.shape[1:])))
+                return px.reshape(n * chunk, *px.shape[2:])[:B]
+            return dec1(ct, cb)
+
+        @jax.jit
+        def step_pipelined(variables, key, labels, prev_codes):
+            codes = sampler(variables['stage2'], key, labels)
+            pixels = decode(variables, *prev_codes)
+            return codes, pixels
+
+        @jax.jit
+        def step_fill(variables, key, labels):
+            codes = sampler(variables['stage2'], key, labels)
+            pixels = decode(variables, *codes)
+            return codes, pixels
+
+        def step(variables, key, labels, prev_codes=None):
+            if prev_codes is None:
+                return step_fill(variables, key, labels)
+            return step_pipelined(variables, key, labels, prev_codes)
+
+        return step
+
     def make_pixel_sampler_igpt(self, max_seq_len: Optional[int] = None,
                                 top_k: Optional[int] = 256,
                                 top_p: Optional[float] = None,

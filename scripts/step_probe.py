@@ -88,7 +88,8 @@ def main():
     if 'spatial' in parts:
         @jax.jit
         def spatial_scan(v2, x0):
-            kc = jnp.zeros((nl, B, nh, 65, hd), jnp.bfloat16)
+            kc = jnp.zeros((nl, B, nh, int(os.environ.get('TCACHE', '65')),
+                            hd), jnp.bfloat16)
             vc = jnp.zeros_like(kc)
 
             def body(carry, i):
