@@ -132,6 +132,53 @@ def compute_activations_from_files(result_path: str,
     return acts[:max_samples] if max_samples else acts
 
 
+def compute_activations_from_dataset(dataset, extractor: InceptionExtractor,
+                                     resolution: int = 256,
+                                     max_samples: Optional[int] = None,
+                                     dataset_name: str = 'imagenet'
+                                     ) -> np.ndarray:
+    """Inception activations over a dataset (center-crop eval transform),
+    the self-hosted reference-statistics path
+    (`hqvae/utils/fid_utils.py:123-228` compute_activations_from_dataset).
+
+    `dataset`: any indexable yielding (PIL image, label) — e.g.
+    `data.datasets.build_dataset(...)` output."""
+    from ..data import transforms as T
+
+    n = len(dataset) if max_samples is None else min(len(dataset),
+                                                     max_samples)
+    acts = []
+    bs = extractor.batch_size
+    for start in range(0, n, bs):
+        imgs = []
+        for i in range(start, min(start + bs, n)):
+            img, _ = dataset[i]
+            arr = T.valid_transform(img, resolution)   # [-1, 1] NHWC
+            imgs.append(arr * 0.5 + 0.5)               # -> [0, 1]
+        acts.append(extractor.features(np.stack(imgs).astype(np.float32)))
+    return np.concatenate(acts, axis=0)
+
+
+def compute_statistics_from_dataset(dataset, extractor: InceptionExtractor,
+                                    out_path: str,
+                                    resolution: int = 256,
+                                    max_samples: Optional[int] = None,
+                                    save_acts: bool = False) -> dict:
+    """Build a reference-statistics npz (mu/sigma[, acts]) from a dataset —
+    makes the FID pipeline self-hosted on new datasets instead of requiring
+    a precomputed `ref_stat_path` (`fid_utils.py:123-228`)."""
+    acts = compute_activations_from_dataset(dataset, extractor, resolution,
+                                            max_samples)
+    mu, sigma = mean_covar_numpy(acts)
+    payload = {'mu': mu, 'sigma': sigma}
+    if save_acts:
+        payload['acts'] = acts
+    np.savez(out_path, **payload)
+    logging.info('inception statistics (%d samples) saved to %s',
+                 acts.shape[0], out_path)
+    return payload
+
+
 def inception_score(logits: np.ndarray, splits: int = 10) -> float:
     """IS from inception logits (softmax over the 1008 classes)."""
     probs = np.exp(logits - logits.max(-1, keepdims=True))

@@ -78,3 +78,35 @@ def test_fid_inception_shapes():
 def test_inception_score_uniform_is_one():
     logits = np.zeros((100, 10), np.float32)
     assert abs(inception_score(logits, splits=5) - 1.0) < 1e-5
+
+
+def test_dataset_stats_builder(tmp_path):
+    """Self-hosted FID reference statistics from a dataset folder
+    (`fid_utils.py:123-228` equivalent) with random-init inception."""
+    from PIL import Image
+    from hqtransformer_tpu.data.datasets import build_dataset
+    from hqtransformer_tpu.evaluation.fid import (
+        InceptionExtractor, compute_statistics_from_dataset,
+        frechet_distance)
+
+    root = tmp_path / 'imgs'
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray(rng.randint(0, 255, (40, 48, 3), np.uint8)).save(
+            root / f'im_{i}.png')
+
+    ds = build_dataset('imagefolder', str(tmp_path))
+    extractor = InceptionExtractor(batch_size=3)
+    out = tmp_path / 'stats.npz'
+    compute_statistics_from_dataset(ds, extractor, str(out), resolution=32,
+                                    max_samples=5, save_acts=True)
+    stats = np.load(out)
+    assert stats['mu'].shape == (2048,)
+    assert stats['sigma'].shape == (2048, 2048)
+    assert stats['acts'].shape == (5, 2048)
+    assert np.isfinite(stats['mu']).all()
+    # identical stats => FID 0
+    fid = frechet_distance(stats['mu'], stats['sigma'],
+                           stats['mu'], stats['sigma'])
+    assert abs(fid) < 1e-3
