@@ -29,13 +29,56 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(dp: Optional[int] = None, tp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())
+    """('dp', 'tp') mesh over all devices. Multi-process aware: when the
+    runtime spans several hosts (`jax.process_count() > 1`, the analogue of
+    the reference's `--n-nodes`, `main_stage1.py:33-34,104-106`), devices
+    are ordered host-major so each 'tp' row stays inside one host's ICI
+    domain and the 'dp' all-reduce is hierarchical (ICI within a host, DCN
+    across hosts)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = _order_host_major(list(devices))
     n = len(devices)
     if dp is None:
         dp = n // tp
     assert dp * tp == n, f'{dp}x{tp} != {n} devices'
+    if tp > 1:
+        _check_tp_within_host(devices, tp)
     dev_array = np.asarray(devices).reshape(dp, tp)
     return Mesh(dev_array, ('dp', 'tp'))
+
+
+def _order_host_major(devices: list) -> list:
+    """Sort devices host-major (process_index, then id): the mesh's
+    major axis then never straddles a host boundary mid-row. Pure so it is
+    unit-testable with stub devices."""
+    return sorted(devices, key=lambda d: (getattr(d, 'process_index', 0),
+                                          d.id))
+
+
+def _check_tp_within_host(devices: list, tp: int) -> None:
+    """Every contiguous tp-sized row must live on one host: tensor-parallel
+    collectives run per layer and must ride ICI, never DCN."""
+    for row_start in range(0, len(devices), tp):
+        procs = {getattr(d, 'process_index', 0)
+                 for d in devices[row_start:row_start + tp]}
+        assert len(procs) == 1, (
+            f'tp={tp} row at device {row_start} spans hosts {procs}; '
+            f'choose tp <= local_device_count '
+            f'({len(devices) // max(1, len({getattr(d, "process_index", 0) for d in devices}))})')
+
+
+def global_batch(mesh: Mesh, x) -> jax.Array:
+    """Assemble a dp-sharded GLOBAL batch from this process's host-local
+    array. Single-process: equivalent to
+    `jax.device_put(x, batch_sharding(mesh))`. Multi-process: each host
+    passes only its local slice (global batch = process_count * local
+    batch), assembled without any cross-host transfer via
+    `jax.make_array_from_process_local_data` — the TPU-native replacement
+    for DDP's per-rank DataLoader sharding
+    (`/root/reference/main_stage1.py:104-106`)."""
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), np.asarray(x))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

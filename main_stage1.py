@@ -31,8 +31,8 @@ from hqtransformer_tpu.data.datasets import (DataLoader, LoaderConfig,
 from hqtransformer_tpu.models.stage1.generator import build_generator
 from hqtransformer_tpu.models.stage1.lpips import (LPIPS, load_torch_lpips_lins,
                                                    load_torch_vgg16)
-from hqtransformer_tpu.parallel.mesh import batch_sharding, make_mesh, \
-    replicated
+from hqtransformer_tpu.parallel.mesh import (global_batch, make_mesh,
+                                             replicated)
 from hqtransformer_tpu.train.scheduler import build_schedule_from_config
 from hqtransformer_tpu.train.stage1 import (Stage1State, make_discriminator,
                                             make_stage1_optimizer,
@@ -46,6 +46,10 @@ def parse_args():
     ap.add_argument('-r', '--result-path', type=str, default='./results')
     ap.add_argument('--data-root', type=str, required=True)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--multihost', action='store_true',
+                    help='call jax.distributed.initialize() (TPU '
+                         'pods / multi-process CPU); each process '
+                         'then loads only its local batch slice')
     ap.add_argument('--max-steps', type=int, default=None,
                     help='override total optimizer steps (smoke runs)')
     ap.add_argument('--eval', action='store_true')
@@ -65,6 +69,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.multihost:
+        jax.distributed.initialize()
     cfg = build_stage1_config(args.config_path)
     now = datetime.now().strftime('%d%m%Y_%H%M%S')
     run_dir = os.path.join(args.result_path,
@@ -157,7 +163,6 @@ def main():
     state = jax.device_put(state, replicated(mesh))
     if lpips_vars is not None:
         lpips_vars = jax.device_put(lpips_vars, replicated(mesh))
-    x_sharding = batch_sharding(mesh)
 
     # validation + image logging (`vqgan.py:88-99`, `logger.py:49-73`)
     @jax.jit
@@ -189,7 +194,9 @@ def main():
             logger.images('valid/recon', first[1], step)
 
     # ------------------------------------------------------------- loop
-    loader_cfg = LoaderConfig(batch_size=global_bs, resolution=res,
+    # each process loads only its host-local slice of the global batch
+    host_bs = local_bs * jax.local_device_count()
+    loader_cfg = LoaderConfig(batch_size=host_bs, resolution=res,
                               dataset_name=cfg.dataset.dataset or 'imagenet',
                               train=True, seed=args.seed)
     assert len(train_ds) >= global_bs, (
@@ -201,7 +208,7 @@ def main():
         loader_cfg.seed = args.seed + epoch
         for x_np, _ in PrefetchLoader(DataLoader(train_ds,
                                                  loader_cfg)):
-            x = jax.device_put(jnp.asarray(x_np), x_sharding)
+            x = global_batch(mesh, x_np)
             key, k = jax.random.split(key)
             state, metrics = jit_step(state, lpips_vars, x, k)
             step += 1

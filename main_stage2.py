@@ -32,7 +32,7 @@ from hqtransformer_tpu.data.datasets import (DataLoader, LoaderConfig,
                                              build_dataset)
 from hqtransformer_tpu.data.tokenizers import create_tokenizer
 from hqtransformer_tpu.models.twostage import TwoStageModel
-from hqtransformer_tpu.parallel.mesh import (batch_sharding, make_mesh,
+from hqtransformer_tpu.parallel.mesh import (global_batch, make_mesh,
                                              replicated,
                                              stage2_param_sharding)
 from hqtransformer_tpu.train.scheduler import build_schedule_from_config
@@ -49,6 +49,10 @@ def parse_args():
     ap.add_argument('--stage1-ckpt', type=str, default=None,
                     help='stage-1 weights: reference .ckpt or orbax dir')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--multihost', action='store_true',
+                    help='call jax.distributed.initialize() (TPU '
+                         'pods / multi-process CPU); each process '
+                         'then loads only its local batch slice')
     ap.add_argument('--max-steps', type=int, default=None)
     ap.add_argument('--tp', type=int, default=1,
                     help='tensor-parallel mesh axis size')
@@ -58,6 +62,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.multihost:
+        jax.distributed.initialize()
     cfg = build_twostage_config(args.config_path)
     now = datetime.now().strftime('%d%m%Y_%H%M%S')
     run_dir = os.path.join(args.result_path,
@@ -186,9 +192,10 @@ def main():
         stage1_vars = jax.device_put(
             variables['stage1'],
             jax.tree.map(lambda _: replicated(mesh), variables['stage1']))
-        x_sharding = batch_sharding(mesh)
 
-        loader_cfg = LoaderConfig(batch_size=global_bs, resolution=res,
+        # each process loads only its host-local slice
+        host_bs = cfg.experiment.local_batch_size * (jax.local_device_count() // args.tp)
+        loader_cfg = LoaderConfig(batch_size=host_bs, resolution=res,
                                   dataset_name=cfg.dataset.dataset or
                                   'imagenet', train=True, seed=args.seed)
         assert len(train_ds) >= global_bs, (
@@ -199,9 +206,9 @@ def main():
             loader_cfg.seed = args.seed + epoch
             for x_np, labels_np in PrefetchLoader(
                     DataLoader(train_ds, loader_cfg)):
-                x = jax.device_put(jnp.asarray(x_np), x_sharding)
-                labels = jax.device_put(
-                    jnp.asarray(labels_np).astype(jnp.int32), x_sharding)
+                x = global_batch(mesh, x_np)
+                labels = global_batch(
+                    mesh, np.asarray(labels_np).astype(np.int32))
                 state, metrics = jit_step(state, stage1_vars, x, labels)
                 step += 1
                 if step % 50 == 0 or step == 1:

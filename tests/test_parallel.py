@@ -150,3 +150,59 @@ def test_cross_entropy_matches_torch():
         torch.from_numpy(codes).reshape(-1)).item()
     j = float(cross_entropy(jnp.asarray(logits), jnp.asarray(codes)))
     np.testing.assert_allclose(j, t, rtol=1e-6)
+
+
+# --------------------------------------------------------- multi-host mesh
+
+class _StubDev:
+    """Minimal device stand-in for host-major ordering tests."""
+
+    def __init__(self, id, process_index):
+        self.id = id
+        self.process_index = process_index
+
+    def __repr__(self):
+        return f'dev(id={self.id}, host={self.process_index})'
+
+
+def test_host_major_ordering_keeps_tp_rows_on_one_host():
+    from hqtransformer_tpu.parallel.mesh import (_check_tp_within_host,
+                                                 _order_host_major)
+    # 2 hosts x 4 local devices, interleaved ids as a pod runtime may list
+    devs = [_StubDev(i, process_index=i % 2) for i in range(8)]
+    ordered = _order_host_major(devs)
+    assert [d.process_index for d in ordered] == [0] * 4 + [1] * 4
+    # tp rows of size 2 and 4 stay within a host
+    _check_tp_within_host(ordered, 2)
+    _check_tp_within_host(ordered, 4)
+    # tp=8 would straddle both hosts -> must be rejected
+    with pytest.raises(AssertionError):
+        _check_tp_within_host(ordered, 8)
+
+
+def test_global_batch_single_process_equals_device_put():
+    from hqtransformer_tpu.parallel.mesh import global_batch
+    mesh = make_mesh(dp=4, tp=2)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    with mesh:
+        a = global_batch(mesh, x)
+        b = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_global_batch_feeds_sharded_train_step():
+    """The global_batch path must be a drop-in for device_put in the jitted
+    sharded step (what main_stage{1,2}.py now do)."""
+    from hqtransformer_tpu.parallel.mesh import global_batch
+    model, state, images, labels, step = _setup()
+    ref_state, ref_metrics = jax.jit(step)(state, {}, images, labels)
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        sh_state = jax.device_put(
+            state, jax.tree.map(lambda _: replicated(mesh), state))
+        im = global_batch(mesh, np.asarray(images))
+        lb = global_batch(mesh, np.asarray(labels))
+        _, metrics = jax.jit(step)(sh_state, {}, im, lb)
+    np.testing.assert_allclose(float(ref_metrics['loss']),
+                               float(metrics['loss']), rtol=1e-5)
