@@ -174,9 +174,9 @@ class SelfAttention(nn.Module):
                        v_cache.astype(x.dtype))
         return self.proj(_merge_heads(y)), k_cache, v_cache
 
-    def _fused_qkv(self, x):
+    def _fused_qkv_flat(self, x):
         """One [C, 3C] gemm (loop-invariant weight concat, hoisted out of
-        the decode scan) -> per-head q, k, v."""
+        the decode scan) -> [B, T, 3C]."""
         w_qkv = jnp.concatenate([self.query.variables['params']['kernel'],
                                  self.key.variables['params']['kernel'],
                                  self.value.variables['params']['kernel']],
@@ -188,7 +188,11 @@ class SelfAttention(nn.Module):
                  self.key.variables['params']['bias'],
                  self.value.variables['params']['bias']])
             qkv = qkv + b_qkv.astype(x.dtype)
-        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        return qkv
+
+    def _fused_qkv(self, x):
+        """Fused qkv gemm -> per-head q, k, v."""
+        q, k_new, v_new = jnp.split(self._fused_qkv_flat(x), 3, axis=-1)
         return (_split_heads(q, self.n_heads),
                 _split_heads(k_new, self.n_heads),
                 _split_heads(v_new, self.n_heads))
@@ -197,12 +201,28 @@ class SelfAttention(nn.Module):
                      v_caches: jax.Array, layer_idx: int, cache_len,
                      self_mask: Optional[jax.Array] = None
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Like `step`, but against STACKED caches [L, B, nh, T_max, hd]:
-        writes only this layer's [B, nh, T_new, hd] slice in place (XLA
-        aliases the scan-carry buffer) instead of the gather-modify-restack
-        pattern that copies the whole cache every layer of every step."""
+        """Like `step`, but against STACKED caches: writes only this layer's
+        [B, ·, T_new, ·] slice in place (XLA aliases the scan-carry buffer)
+        instead of the gather-modify-restack pattern that copies the whole
+        cache every layer of every step.
+
+        The cache layout is [L, B, nh/g, T_max, g*hd] with g =
+        `cache_group(nh, hd)` heads PACKED per row so the minor dim is a
+        whole number of 128-lane tiles: bf16 pads the minor dimension to
+        128, so the reference dims (hd=64) in the naive [.., T, hd] layout
+        would stream 2x the cache bytes from HBM on every decode step. The
+        per-head attention math is recovered with parity-masked queries
+        (g x the attention FLOPs — noise next to the bandwidth saved).
+        g == 1 falls back to the plain per-head layout."""
         B, T_new, C = x.shape
-        q, k_new, v_new = self._fused_qkv(x)
+        g = self.n_heads // k_caches.shape[2]
+        if g > 1:
+            q, k_new, v_new = jnp.split(self._fused_qkv_flat(x), 3, axis=-1)
+            G, gh = k_caches.shape[2], k_caches.shape[4]
+            k_new = k_new.reshape(B, T_new, G, gh).transpose(0, 2, 1, 3)
+            v_new = v_new.reshape(B, T_new, G, gh).transpose(0, 2, 1, 3)
+        else:
+            q, k_new, v_new = self._fused_qkv(x)
         k_caches = jax.lax.dynamic_update_slice(
             k_caches, k_new[None].astype(k_caches.dtype),
             (layer_idx, 0, 0, cache_len, 0))
@@ -220,13 +240,32 @@ class SelfAttention(nn.Module):
         sm = jnp.take_along_axis(
             jnp.pad(self_mask, ((0, 0), (0, 1))),
             jnp.clip(new_idx, 0, T_new)[None, :].repeat(T_new, 0), axis=1)
-        mask = is_past[None, :] | (in_new[None, :] & sm)
+        mask = is_past[None, :] | (in_new[None, :] & sm)  # [T_new, T_max]
 
-        hd = q.shape[-1]
+        hd = C // self.n_heads
+        scale = 1.0 / np.sqrt(hd)
+        if g > 1:
+            G, gh = k_caches.shape[2], k_caches.shape[4]
+            # parity masks select each packed head's hd-slice of the row
+            par = (jnp.arange(gh) // hd)[None, :] == jnp.arange(g)[:, None]
+            par = par.astype(x.dtype)                       # [g, gh]
+            q2 = q.reshape(B, T_new, G, gh)
+            qm = jnp.einsum('bqgk,pk->bgpqk', q2, par)
+            att = jnp.einsum('bgtk,bgpqk->bgpqt',
+                             k_caches[layer_idx].astype(x.dtype), qm,
+                             preferred_element_type=jnp.float32) * scale
+            att = jnp.where(mask[None, None, None], att, NEG_INF)
+            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+            y2 = jnp.einsum('bgpqt,bgtk->bgpqk', att,
+                            v_caches[layer_idx].astype(x.dtype))
+            y = jnp.einsum('bgpqk,pk->bqgk', y2, par)       # select parity
+            y = y.reshape(B, T_new, C)
+            return self.proj(y), k_caches, v_caches
+
         att = jnp.einsum('bhqd,bhkd->bhqk', q,
                          k_caches[layer_idx].astype(q.dtype),
                          preferred_element_type=jnp.float32)
-        att = att * (1.0 / np.sqrt(hd))
+        att = att * scale
         att = jnp.where(mask[None, None], att, NEG_INF)
         att = jax.nn.softmax(att, axis=-1)
         y = jnp.einsum('bhqk,bhkd->bhqd', att.astype(x.dtype),
@@ -352,9 +391,29 @@ class DecoderBlock(nn.Module):
         return x
 
 
+def cache_group(n_heads: int, head_dim: int) -> int:
+    """Heads packed per KV-cache row. TPU tiles pad the minor dimension to
+    128 lanes; the reference dims (hd=64, or 32 in small configs) would
+    waste 2-4x HBM bandwidth on every cache read in a naive [.., T, hd]
+    layout, and the decode loop is cache-bandwidth-bound. Packing g = 128/hd
+    heads per row makes the minor dim a whole tile."""
+    if head_dim < 128 and 128 % head_dim == 0 and \
+            n_heads % (128 // head_dim) == 0:
+        return 128 // head_dim
+    return 1
+
+
+def kv_cache_shape(n_layers: int, batch: int, n_heads: int, t_max: int,
+                   head_dim: int) -> Tuple[int, ...]:
+    """Stacked packed cache shape [L, B, nh/g, T_max, g*hd] (see
+    `cache_group`; g == 1 degenerates to the per-head layout)."""
+    g = cache_group(n_heads, head_dim)
+    return (n_layers, batch, n_heads // g, t_max, g * head_dim)
+
+
 def init_kv_cache(n_layers: int, batch: int, n_heads: int, t_max: int,
                   head_dim: int, dtype=jnp.float32
                   ) -> Tuple[jax.Array, jax.Array]:
-    """Stacked per-layer caches [L, B, nh, T_max, hd]."""
-    shape = (n_layers, batch, n_heads, t_max, head_dim)
+    """Stacked per-layer caches in the packed layout."""
+    shape = kv_cache_shape(n_layers, batch, n_heads, t_max, head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.stage2.hierarchical import HierarchicalGPT
+from ..models.stage2.layers import kv_cache_shape
 from ..ops.topk_topp import sample_from_logits
 
 
@@ -211,7 +212,8 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
                           method=HierarchicalGPT.sos_tokens)
         cdtype = cache_dtype or sos.dtype
         t0_max = sos_len + bounds[0][1] - 1
-        kc = jnp.zeros((n_layers, B, n_heads, t0_max, hd), cdtype)
+        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t0_max,
+                                      hd), cdtype)
         vc = jnp.zeros_like(kc)
 
         # prefill conditioning prefix (`hierarchical_ar.py:493-504`)
@@ -244,7 +246,8 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
                 # grow the cache to this segment's static size
                 kc, vc, pt, pb, key = carry
                 seg_t = sos_len + hi - 1
-                kc_big = jnp.zeros((n_layers, B, n_heads, seg_t, hd), cdtype)
+                kc_big = jnp.zeros(kv_cache_shape(
+                    n_layers, B, n_heads, seg_t, hd), cdtype)
                 vc_big = jnp.zeros_like(kc_big)
                 kc_big = jax.lax.dynamic_update_slice(
                     kc_big, kc, (0, 0, 0, 0, 0))
@@ -283,7 +286,8 @@ def make_igpt_sampler(model, max_seq_len: int = 256,
         sos = model.apply(variables, B, labels, method=type(model).sos_tokens)
         t_max = max_seq_len
         cdtype = cache_dtype or sos.dtype
-        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
+                       cdtype)
         vc = jnp.zeros_like(kc)
         logits, kc, vc = model.apply(variables, sos, kc, vc, 0,
                                      method=type(model).decode_step)
@@ -327,7 +331,8 @@ def make_txt2img_sampler(model, max_seq_len: int = 256,
         x = model.apply(variables, texts, method=type(model).embed_texts)
         t_max = N + max_seq_len
         cdtype = cache_dtype or x.dtype
-        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
+                       cdtype)
         vc = jnp.zeros_like(kc)
         logits, kc, vc = model.apply(variables, x, kc, vc, 0,
                                      method=type(model).decode_step)
@@ -396,7 +401,8 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                           method=type(model).sos_tokens)
         t_max = sos_len + max_seq_len - 1
         cdtype = cache_dtype or sos.dtype
-        kc = jnp.zeros((n_layers, B, n_heads, t_max, hd), cdtype)
+        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
+                       cdtype)
         vc = jnp.zeros_like(kc)
         h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
                                     method=type(model).spatial_step)
