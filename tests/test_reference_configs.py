@@ -82,3 +82,48 @@ def test_stage2_reference_config_builds_model(path):
     n_params = sum(int(jnp.prod(jnp.asarray(x.shape)))
                    for x in jax.tree.leaves(variables['params']))
     assert n_params > 1_000_000, f'{path}: suspiciously small model'
+
+
+# ------------------------------------------------- shipped config corpus
+
+ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+SHIPPED = sorted(glob.glob(os.path.join(ROOT, 'configs', '**', '*.yaml'),
+                           recursive=True))
+
+
+def _ship_rel(p):
+    return os.path.relpath(p, ROOT)
+
+
+@pytest.mark.parametrize('path', SHIPPED, ids=_ship_rel)
+def test_shipped_config_parses(path):
+    is_stage1 = ('stage1' in os.path.basename(path)
+                 or '/stage1/' in path.replace(os.sep, '/'))
+    if is_stage1:
+        cfg = build_stage1_config(path)
+        assert cfg.stage1.hparams.resolution > 0
+    else:
+        cfg = build_twostage_config(path)
+        model = TwoStageModel(cfg)
+        assert model.top_res > 0
+
+
+def test_ported_configs_equal_their_reference_source():
+    """Every generated config (scripts/port_reference_configs.py) must
+    build the identical typed config as its reference source file."""
+    import dataclasses
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'port_reference_configs',
+        os.path.join(ROOT, 'scripts', 'port_reference_configs.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for ref_rel, out_rel, stage in mod.PORTS:
+        ref = os.path.join(REF, ref_rel)
+        out = os.path.join(ROOT, out_rel)
+        if not os.path.exists(ref):
+            pytest.skip('reference configs not mounted')
+        build = build_stage1_config if stage == 1 else build_twostage_config
+        a, b = dataclasses.asdict(build(ref)), dataclasses.asdict(build(out))
+        assert a == b, f'{out_rel} diverged from {ref_rel}'
