@@ -149,7 +149,7 @@ class VQGANGenerator(nn.Module):
     hparams: Stage1Hparams
     dtype: jnp.dtype = jnp.float32
     ema_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         kw = _encoder_kwargs(self.hparams, self.dtype)
@@ -210,7 +210,7 @@ class SimRQGAN2Generator(nn.Module, _ResampleMixin):
     hparams_aux: VQGAN2Hparams
     dtype: jnp.dtype = jnp.float32
     ema_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         assert self.hparams.z_channels % 2 == 0
@@ -351,7 +351,7 @@ class VQGAN2Generator(nn.Module):
     hparams_aux: VQGAN2Hparams
     dtype: jnp.dtype = jnp.float32
     ema_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         hp = self.hparams
@@ -460,7 +460,7 @@ class HQVAEGenerator(nn.Module, _ResampleMixin):
     hparams_aux: VQGAN2Hparams
     dtype: jnp.dtype = jnp.float32
     ema_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         hp = self.hparams
@@ -591,7 +591,7 @@ class HQVAEGenerator(nn.Module, _ResampleMixin):
 
 def build_generator(cfg_stage1, dtype=jnp.float32,
                     ema_axis_name: Optional[str] = None,
-                    use_pallas: bool = False) -> nn.Module:
+                    use_pallas: Optional[bool] = None) -> nn.Module:
     """Generator dispatch by `stage1.type` (`models/__init__.py:50-80`)."""
     t = cfg_stage1.type
     common = dict(embed_dim=cfg_stage1.embed_dim,

@@ -31,7 +31,7 @@ class VectorQuantizer(nn.Module):
     n_embed: int
     dim: int
     beta: float = 0.25
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         # uniform(-1/K, 1/K) init (`quantizer.py:26`)
@@ -75,7 +75,7 @@ class EMAVectorQuantizer(nn.Module):
     use_l2_norm: bool = False
     restart_unused_codes: bool = False
     ema_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         # one shared init draw so embedding == embedding_avg at t0
@@ -148,7 +148,7 @@ class EMAVectorQuantizer(nn.Module):
 def make_quantizer(ema_update: bool, dim: int, n_embed: int,
                    beta: float = 0.25, restart_unused_codes: bool = False,
                    ema_axis_name: Optional[str] = None,
-                   use_pallas: bool = False,
+                   use_pallas: Optional[bool] = None,
                    name: Optional[str] = None):
     if ema_update:
         return EMAVectorQuantizer(n_embed=n_embed, dim=dim, beta=beta,

@@ -62,8 +62,14 @@ def codebook_distances(z_flat: jax.Array, embedding: jax.Array) -> jax.Array:
 
 
 def vq_lookup(z_flat: jax.Array, embedding: jax.Array,
-              use_pallas: bool = False) -> jax.Array:
-    """Nearest-code indices [N] (first-min tie-break, matching torch.argmin)."""
+              use_pallas: Optional[bool] = None) -> jax.Array:
+    """Nearest-code indices [N] (first-min tie-break, matching torch.argmin).
+
+    use_pallas=None auto-enables the fused Pallas kernel on TPU backends
+    (bit-matches the XLA argmin — tested; avoids materializing the [N, K]
+    distance matrix in HBM). Explicit True/False overrides."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
     if use_pallas:
         from .pallas_vq import vq_argmin_pallas
         return vq_argmin_pallas(z_flat, embedding)
@@ -71,7 +77,8 @@ def vq_lookup(z_flat: jax.Array, embedding: jax.Array,
 
 
 def quantize_lookup(z: jax.Array, embedding: jax.Array,
-                    use_pallas: bool = False) -> Tuple[jax.Array, jax.Array]:
+                    use_pallas: Optional[bool] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
     """z: [..., D] -> (codes [...], z_q [..., D])."""
     flat = z.reshape(-1, z.shape[-1])
     codes = vq_lookup(flat, embedding, use_pallas=use_pallas)

@@ -49,6 +49,12 @@ def parse_args():
     ap.add_argument('--vocab-dir', type=str, default=None)
     ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
                     default='bfloat16')
+    ap.add_argument('--clip-rerank', type=int, default=0, metavar='N',
+                    help='generate N candidates per caption and keep them '
+                         'CLIP-ranked best-first (the demo notebook\'s '
+                         'clip_reranking; requires --clip-weights)')
+    ap.add_argument('--clip-weights', type=str, default=None,
+                    help='official CLIP ViT-B/32 state_dict (.pt)')
     return ap.parse_args()
 
 
@@ -103,15 +109,54 @@ def main():
     if args.max_batches:
         n_batches = min(n_batches, args.max_batches)
 
+    clip_model = clip_vars = None
+    if args.clip_rerank:
+        import torch
+        from hqtransformer_tpu.evaluation.clip_rerank import (
+            CLIP, load_torch_clip)
+        assert args.clip_weights, '--clip-rerank requires --clip-weights'
+        clip_model = CLIP()
+        cvars = clip_model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 224, 224, 3)),
+                                jnp.zeros((1, 77), jnp.int32))
+        sd = torch.load(args.clip_weights, map_location='cpu')
+        sd = sd.state_dict() if hasattr(sd, 'state_dict') else sd
+        clip_vars = load_torch_clip(cvars, sd)
+        print('CLIP weights loaded for re-ranking')
+
     for bi in tqdm(range(n_batches), total=n_batches):
         batch = captions[bi * bs:(bi + 1) * bs]
-        tokens = np.stack([tokenizer.encode_padded(c, ctx_len)
-                           for c in batch]).astype(np.int32)
-        key, k = jax.random.split(key)
-        pixels, _ = sampler(variables, k, jnp.asarray(tokens))
-        arr = np.asarray(pixels, np.float32).transpose(0, 3, 1, 2)
-        save_pickle(os.path.join(args.result_path,
-                                 f'samples_({bi + 1}_{bs}).pkl'), arr)
+        if args.clip_rerank:
+            # one caption per step, N candidates, keep CLIP-ranked
+            from hqtransformer_tpu.evaluation.clip_rerank import clip_rerank
+            n = args.clip_rerank
+            ranked_all, scores_all = [], []
+            for cap in batch:
+                toks = np.asarray(tokenizer.encode_padded(cap, ctx_len),
+                                  np.int32)[None].repeat(n, 0)
+                key, k = jax.random.split(key)
+                pixels, _ = sampler(variables, k, jnp.asarray(toks))
+                px = np.asarray(pixels, np.float32)
+                order, scores = clip_rerank(
+                    clip_model, clip_vars, px,
+                    np.asarray(tokenizer.encode_padded(cap, 77),
+                               np.int32)[None])
+                ranked_all.append(px[order])
+                scores_all.append(scores)
+            arr = np.stack(ranked_all).transpose(0, 1, 4, 2, 3)
+            save_pickle(os.path.join(
+                args.result_path, f'samples_({bi + 1}_{bs}).pkl'), arr)
+            np.savez(os.path.join(args.result_path,
+                                  f'clip_scores_({bi + 1}_{bs}).npz'),
+                     scores=np.stack(scores_all))
+        else:
+            tokens = np.stack([tokenizer.encode_padded(c, ctx_len)
+                               for c in batch]).astype(np.int32)
+            key, k = jax.random.split(key)
+            pixels, _ = sampler(variables, k, jnp.asarray(tokens))
+            arr = np.asarray(pixels, np.float32).transpose(0, 3, 1, 2)
+            save_pickle(os.path.join(args.result_path,
+                                     f'samples_({bi + 1}_{bs}).pkl'), arr)
         with open(os.path.join(args.result_path,
                                f'captions_({bi + 1}_{bs}).txt'), 'w') as fp:
             fp.write('\n'.join(batch))
