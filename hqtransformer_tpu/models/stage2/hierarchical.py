@@ -422,10 +422,22 @@ class HierarchicalGPT(nn.Module):
         for blk in self.depths:
             xn = blk.ln1(x)
             # single-token attention: softmax over one key is identically 1,
-            # so the attention output IS v — skip q and the softmax entirely
-            k = _split_heads(blk.attn.key(xn), blk.attn.n_heads)
-            v = _split_heads(blk.attn.value(xn), blk.attn.n_heads)
-            x = x + blk.attn.proj(_merge_heads(v))
+            # so the attention output IS v — skip q and the softmax entirely.
+            # k and v in one fused gemm ([C, 2C] weight concat is
+            # loop-invariant, hoisted out of the scan).
+            a = blk.attn
+            w_kv = jnp.concatenate([a.key.variables['params']['kernel'],
+                                    a.value.variables['params']['kernel']],
+                                   axis=1)
+            kv = jnp.dot(xn, w_kv.astype(xn.dtype))
+            if a.attn_bias:
+                b_kv = jnp.concatenate([a.key.variables['params']['bias'],
+                                        a.value.variables['params']['bias']])
+                kv = kv + b_kv.astype(xn.dtype)
+            k, v = jnp.split(kv, 2, axis=-1)
+            k = _split_heads(k, a.n_heads)
+            v = _split_heads(v, a.n_heads)
+            x = x + a.proj(_merge_heads(v))
             x = x + blk._mlp(blk.ln2(x), True)
             ks.append(k)
             vs.append(v)
@@ -447,9 +459,7 @@ class HierarchicalGPT(nn.Module):
         new_ks, new_vs = [], []
         for i, blk in enumerate(self.depths):
             xn = blk.ln1(x)
-            q = _split_heads(blk.attn.query(xn), blk.attn.n_heads)
-            k_new = _split_heads(blk.attn.key(xn), blk.attn.n_heads)
-            v_new = _split_heads(blk.attn.value(xn), blk.attn.n_heads)
+            q, k_new, v_new = blk.attn._fused_qkv(xn)
             k_all = jnp.concatenate([ks[i], k_new], axis=2)
             v_all = jnp.concatenate([vs[i], v_new], axis=2)
             # decode-with-past parallel branch: full attention

@@ -273,6 +273,56 @@ class SelfAttention(nn.Module):
         return self.proj(_merge_heads(y)), k_caches, v_caches
 
 
+class _PackedStepMixin:
+    """Single-token decode against packed [L, T, B, D] caches via the fused
+    Pallas attention kernel (TPU) or its XLA oracle (other backends)."""
+
+    def step_packed(self, x: jax.Array, k_caches: jax.Array,
+                    v_caches: jax.Array, layer_idx: int, pos
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        from ...ops.pallas_attention import (decode_attention_step,
+                                             decode_attention_step_xla)
+        B, T_new, C = x.shape
+        assert T_new == 1, 'packed path is single-token decode only'
+        q, k_new, v_new = jnp.split(self._fused_qkv_flat(x)[:, 0, :], 3,
+                                    axis=-1)
+        if jax.default_backend() == 'tpu':
+            y, k_caches, v_caches = decode_attention_step(
+                q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
+                self.n_heads)
+        else:
+            y, k_caches, v_caches = decode_attention_step_xla(
+                q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
+                self.n_heads)
+        return self.proj(y[:, None, :]), k_caches, v_caches
+
+    def prefill_packed(self, x: jax.Array, k_caches: jax.Array,
+                       v_caches: jax.Array, layer_idx: int,
+                       self_mask: Optional[jax.Array] = None
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Write the first T_new rows and attend among them (cache starts
+        empty — the conditioning-prefix prefill)."""
+        B, T_new, C = x.shape
+        q, k_new, v_new = jnp.split(self._fused_qkv_flat(x), 3, axis=-1)
+        rows = k_new.transpose(1, 0, 2)                 # [T_new, B, C]
+        k_caches = jax.lax.dynamic_update_slice(
+            k_caches, rows[None].astype(k_caches.dtype), (layer_idx, 0, 0, 0))
+        v_caches = jax.lax.dynamic_update_slice(
+            v_caches, v_new.transpose(1, 0, 2)[None].astype(v_caches.dtype),
+            (layer_idx, 0, 0, 0))
+        if self_mask is None:
+            self_mask = jnp.tril(jnp.ones((T_new, T_new), bool))
+        y = masked_attention(_split_heads(q, self.n_heads),
+                             _split_heads(k_new, self.n_heads),
+                             _split_heads(v_new, self.n_heads), self_mask)
+        return self.proj(_merge_heads(y)), k_caches, v_caches
+
+
+# mix the packed decode into SelfAttention (kept separate for readability)
+SelfAttention.step_packed = _PackedStepMixin.step_packed
+SelfAttention.prefill_packed = _PackedStepMixin.prefill_packed
+
+
 class CrossAttention(nn.Module):
     """Multi-head cross-attention (`layers.py:198-286`)."""
     embed_dim: int
@@ -346,8 +396,24 @@ class Block(nn.Module):
 
     def step_stacked(self, x, k_caches, v_caches, layer_idx, cache_len,
                      self_mask=None):
-        a, k_caches, v_caches = self.attn.step_stacked(
-            self.ln1(x), k_caches, v_caches, layer_idx, cache_len, self_mask)
+        """Decode step dispatching on cache layout: 5-D [L, B, nh, T, hd]
+        per-head caches -> einsum path; 4-D [L, T, B, D] packed caches ->
+        fused Pallas kernel (single token) or packed prefill."""
+        if k_caches.ndim == 4:
+            if x.shape[1] == 1 and not isinstance(cache_len, int):
+                a, k_caches, v_caches = self.attn.step_packed(
+                    self.ln1(x), k_caches, v_caches, layer_idx, cache_len)
+            else:
+                # static cache_len == 0: conditioning-prefix prefill
+                assert isinstance(cache_len, int) and cache_len == 0, (
+                    'packed caches support single-token decode and '
+                    'prefill-at-0 only')
+                a, k_caches, v_caches = self.attn.prefill_packed(
+                    self.ln1(x), k_caches, v_caches, layer_idx, self_mask)
+        else:
+            a, k_caches, v_caches = self.attn.step_stacked(
+                self.ln1(x), k_caches, v_caches, layer_idx, cache_len,
+                self_mask)
         x = x + a
         x = x + self._mlp(self.ln2(x), True)
         return x, k_caches, v_caches
@@ -391,23 +457,24 @@ class DecoderBlock(nn.Module):
         return x
 
 
-def cache_group(n_heads: int, head_dim: int) -> int:
-    """Heads packed per KV-cache row. TPU tiles pad the minor dimension to
-    128 lanes; the reference dims (hd=64, or 32 in small configs) would
-    waste 2-4x HBM bandwidth on every cache read in a naive [.., T, hd]
-    layout, and the decode loop is cache-bandwidth-bound. Packing g = 128/hd
-    heads per row makes the minor dim a whole tile."""
-    if head_dim < 128 and 128 % head_dim == 0 and \
+def cache_group(n_heads: int, head_dim: int, packed: bool = False) -> int:
+    """Heads packed per KV-cache row (g = 128/hd when hd < 128 divides
+    128). Measured on v5e: XLA lays out the per-head [.., T, hd=64] cache
+    WITHOUT minor-dim padding waste, and the parity-masked packed einsum
+    formulations compile to slower programs than the naive per-head batched
+    matmuls (4.30 vs 7.83 ms/step at flagship shapes) — so packing is OFF by
+    default and exists for Pallas kernels that want [.., T, g*hd] rows."""
+    if packed and head_dim < 128 and 128 % head_dim == 0 and \
             n_heads % (128 // head_dim) == 0:
         return 128 // head_dim
     return 1
 
 
 def kv_cache_shape(n_layers: int, batch: int, n_heads: int, t_max: int,
-                   head_dim: int) -> Tuple[int, ...]:
+                   head_dim: int, packed: bool = False) -> Tuple[int, ...]:
     """Stacked packed cache shape [L, B, nh/g, T_max, g*hd] (see
     `cache_group`; g == 1 degenerates to the per-head layout)."""
-    g = cache_group(n_heads, head_dim)
+    g = cache_group(n_heads, head_dim, packed)
     return (n_layers, batch, n_heads // g, t_max, g * head_dim)
 
 

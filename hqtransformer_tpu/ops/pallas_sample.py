@@ -32,7 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_B = 128
 LANE = 128
-BISECT_ITERS = 30
+# Bisection window below the row max. Elements further than 44 below the
+# max have exp(x - max) < 7e-20; against a total mass >= exp(0) = 1 their
+# f32 CDF increment rounds to exactly zero (2^-24 relative), so inverse-CDF
+# can never select them — restricting the top-k threshold search to
+# [max-44, max] leaves the sampling distribution bit-identical while saving
+# bisection passes (each pass is a full VPU sweep of the logits tile).
+BISECT_RANGE = 44.0
+BISECT_ITERS = 26  # 44 / 2^26 ~ 6.6e-7: below f32 ulp of typical logits
 
 
 def _tril_ones(n: int, strict: bool) -> jax.Array:
@@ -50,11 +57,11 @@ def _sample_kernel(k_ref, logits_ref, u_ref, out_ref):
     row_max = jnp.max(x, axis=-1, keepdims=True)
 
     def threshold(x):
-        # bisect within [row_max - 88, row_max]: exp underflows to zero mass
-        # below row_max - 88, so thresholds down there cannot change the
-        # sampling distribution — and padding sentinels stay out of the
-        # search range (30 halvings of 88 give ~3e-8 resolution)
-        lo = row_max - 88.0
+        # bisect within [row_max - BISECT_RANGE, row_max]: mass below that
+        # window rounds to a zero f32 CDF increment (see BISECT_RANGE note),
+        # so thresholds down there cannot change the sampling distribution —
+        # and padding sentinels stay out of the search range
+        lo = row_max - BISECT_RANGE
         hi = row_max + 1e-6
 
         def body(_, lohi):

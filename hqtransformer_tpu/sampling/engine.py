@@ -166,12 +166,26 @@ _DEPTH_SAMPLERS = {
 }
 
 
+def _use_packed_cache(attention: str, embed_dim: int, batch: int) -> bool:
+    """Packed [L, T, B, D] caches + the fused Pallas decode-attention kernel
+    (ops/pallas_attention.py). 'auto' enables it on TPU backends when the
+    kernel's tiling fits (D a whole number of lanes, B a multiple of 8)."""
+    if attention == 'packed':
+        return True
+    if attention == 'einsum':
+        return False
+    assert attention == 'auto', attention
+    return (jax.default_backend() == 'tpu' and embed_dim % 128 == 0
+            and batch % 8 == 0)
+
+
 def make_hierarchical_sampler(model: HierarchicalGPT,
                               max_seq_len: int = 64,
                               params: SamplingParams = SamplingParams(),
                               use_given_top: bool = False,
                               cache_dtype=None,
-                              n_segments: int = 2):
+                              n_segments: int = 2,
+                              attention: str = 'auto'):
     """Build a jitted sampler for the 2-level model.
 
     Returns fn(variables, key, labels[, given_top_codes])
@@ -208,12 +222,20 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
 
     def sample(variables, key, labels, given_top_codes=None):
         B = labels.shape[0]
+        packed = _use_packed_cache(attention, hp.embed_dim, B)
+        seg_bounds = [(1, max_seq_len)] if packed else bounds
         sos = model.apply(variables, B, labels,
                           method=HierarchicalGPT.sos_tokens)
         cdtype = cache_dtype or sos.dtype
-        t0_max = sos_len + bounds[0][1] - 1
-        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t0_max,
-                                      hd), cdtype)
+        t0_max = sos_len + seg_bounds[0][1] - 1
+        if packed:
+            # [L, T, B, D]; the kernel reads only the valid prefix, so no
+            # segment growing is needed; T rounded to the DMA row chunk
+            t_pad = -(-t0_max // 8) * 8
+            kc = jnp.zeros((n_layers, t_pad, B, hp.embed_dim), cdtype)
+        else:
+            kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t0_max,
+                                          hd), cdtype)
         vc = jnp.zeros_like(kc)
 
         # prefill conditioning prefix (`hierarchical_ar.py:493-504`)
@@ -241,7 +263,7 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
 
         carry = (kc, vc, top0, bot0, key)
         all_tops, all_bots = [], []
-        for seg_i, (lo, hi) in enumerate(bounds):
+        for seg_i, (lo, hi) in enumerate(seg_bounds):
             if seg_i > 0:
                 # grow the cache to this segment's static size
                 kc, vc, pt, pb, key = carry

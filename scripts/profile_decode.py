@@ -140,6 +140,30 @@ def main():
             return out
         timeit('depth+sample', run_depth, v2, key)
 
+    if 'dfirst' in want:
+        h = jnp.zeros((B, D), jnp.bfloat16)
+        @jax.jit
+        def run_dfirst(v2):
+            def body(carry, i):
+                lt, kv = m.apply(v2, h,
+                                 method=HierarchicalGPT.depth_first_logits)
+                return carry, lt[0, 0]
+            _, out = jax.lax.scan(body, 0, jnp.arange(1, T))
+            return out
+        timeit('depth-first', run_dfirst, v2)
+
+    if 'dheads' in want:
+        hx = jnp.zeros((B, 4, D), jnp.bfloat16)
+        @jax.jit
+        def run_heads(v2):
+            def body(carry, i):
+                lb = m.apply(v2, hx,
+                             method=lambda mm, v: mm.head_bot(mm.ln_bot(v)))
+                return carry, lb[0, 0, 0]
+            _, out = jax.lax.scan(body, 0, jnp.arange(1, T))
+            return out
+        timeit('head_bot-only', run_heads, v2)
+
     if 'sampling' in want:
         from hqtransformer_tpu.ops.topk_topp import sample_from_logits
         logits = jax.random.normal(key, (B, 5, 8192), jnp.float32)

@@ -166,3 +166,28 @@ def test_sampler_deterministic_fixed_seed():
     c = sampler(variables, jax.random.PRNGKey(43), labels)
     assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0])) or \
         not np.array_equal(np.asarray(a[1]), np.asarray(c[1]))
+
+
+def test_packed_attention_sampler_matches_einsum():
+    """The packed-cache [L, T, B, D] sampler path (XLA oracle on CPU; the
+    Pallas kernel on TPU) must produce the identical token stream to the
+    per-head einsum path."""
+    spec = parse_model_type('hq-transformer/parallel')
+    model = HierarchicalGPT(vocab_size_top=64, vocab_size_bot=64,
+                            vocab_size_txt=32, ratio_bot2top=4,
+                            use_cls_cond=True, use_txt_cond=False,
+                            model_type=spec, hparams=tiny_hparams())
+    B, Ttop = 8, 16
+    labels = jnp.arange(B, dtype=jnp.int32) % 10
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((B, Ttop), jnp.int32),
+                           jnp.zeros((B, Ttop * 4), jnp.int32), labels)
+    sp = SamplingParams(top_k_top=16, top_k_bot=16, temperature_top=0.9,
+                        temperature_bot=0.9)
+    key = jax.random.PRNGKey(5)
+    s_ein = make_hierarchical_sampler(model, Ttop, sp, attention='einsum')
+    s_pkd = make_hierarchical_sampler(model, Ttop, sp, attention='packed')
+    t1, b1 = s_ein(variables, key, labels)
+    t2, b2 = s_pkd(variables, key, labels)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
