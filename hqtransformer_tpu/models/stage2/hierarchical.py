@@ -456,20 +456,41 @@ class HierarchicalGPT(nn.Module):
         n = self.num_bottom_pred
         pos_idx = jnp.arange(n * (group - 1), n * group)
         x = self.tok_emb_top_depth(codes) + self.pos_emb_depth(pos_idx)[None]
+
+        # Full attention over [past; new] (`layers.py:147-152`). The
+        # sequences are tiny (Tq = n, Tk = n*group + 1), so per-head einsums
+        # lower to thousands of tile-padded micro-matmuls; instead compute
+        # per-head scores via one elementwise product + a head-mask matmul
+        # on the MXU (exact same math — see ops/pallas_attention.py):
+        #   s[b,q,t,h] = sum_d (q[b,q,:] * k[b,t,:])[d] . par[d,h]
+        nh = self.hpd.n_heads
+        D = self.hpd.embed_dim
+        hd = D // nh
+        par = ((jnp.arange(D) // hd)[:, None] ==
+               jnp.arange(nh)[None, :])
+        scale = 1.0 / np.sqrt(hd)
+
+        def flat_heads(t):  # [B, nh, T, hd] -> [B, T, D]
+            return _merge_heads(t)
+
         new_ks, new_vs = [], []
         for i, blk in enumerate(self.depths):
             xn = blk.ln1(x)
-            q, k_new, v_new = blk.attn._fused_qkv(xn)
-            k_all = jnp.concatenate([ks[i], k_new], axis=2)
-            v_all = jnp.concatenate([vs[i], v_new], axis=2)
-            # decode-with-past parallel branch: full attention
-            # (`layers.py:147-152`)
-            y = masked_attention(q, k_all, v_all, None)
-            a = blk.attn.proj(_merge_heads(y))
-            x = x + a
+            q, k_new, v_new = jnp.split(blk.attn._fused_qkv_flat(xn), 3,
+                                        axis=-1)                 # [B, Tq, D]
+            k_flat = jnp.concatenate([flat_heads(ks[i]), k_new], axis=1)
+            v_flat = jnp.concatenate([flat_heads(vs[i]), v_new], axis=1)
+            P = q[:, :, None, :] * k_flat[:, None, :, :]   # [B, Tq, Tk, D]
+            s = jnp.einsum('bqtd,dh->bqth', P, par.astype(P.dtype),
+                           preferred_element_type=jnp.float32) * scale
+            att = jax.nn.softmax(s, axis=2)                # [B, Tq, Tk, nh]
+            A = jnp.einsum('bqth,dh->bqtd', att.astype(x.dtype),
+                           par.astype(x.dtype))
+            y = jnp.sum(A * v_flat[:, None, :, :], axis=2)   # [B, Tq, D]
+            x = x + blk.attn.proj(y)
             x = x + blk._mlp(blk.ln2(x), True)
-            new_ks.append(k_all)
-            new_vs.append(v_all)
+            new_ks.append(_split_heads(k_flat, nh))
+            new_vs.append(_split_heads(v_flat, nh))
         logits_bot = self.head_bot(self.ln_bot(x))
         return logits_bot, (new_ks, new_vs)
 

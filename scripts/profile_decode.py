@@ -164,6 +164,31 @@ def main():
             return out
         timeit('head_bot-only', run_heads, v2)
 
+    if 'headgemm' in want:
+        W = jax.random.normal(key, (D, 8192), jnp.bfloat16) * 0.02
+        hx2 = jnp.zeros((B * 4, D), jnp.bfloat16)
+        @jax.jit
+        def run_headgemm(W):
+            def body(carry, i):
+                return carry, jnp.dot(hx2, W)[0, 0]
+            _, out = jax.lax.scan(body, 0, jnp.arange(1, T))
+            return out
+        timeit('headgemm-raw', run_headgemm, W)
+
+    if 'dsecond' in want:
+        h = jnp.zeros((B, D), jnp.bfloat16)
+        @jax.jit
+        def run_dsecond(v2, key):
+            lt, kv0 = m.apply(v2, h, method=HierarchicalGPT.depth_first_logits)
+            def body(key, i):
+                key, ki = jax.random.split(key)
+                lb, kv = m.apply(v2, jnp.zeros((B, 1), jnp.int32), kv0, 1,
+                                 method=HierarchicalGPT.depth_second_logits)
+                return key, lb[0, 0, 0]
+            _, out = jax.lax.scan(body, key, jnp.arange(1, T))
+            return out
+        timeit('dsecond(+1 dfirst)', run_dsecond, v2, key)
+
     if 'sampling' in want:
         from hqtransformer_tpu.ops.topk_topp import sample_from_logits
         logits = jax.random.normal(key, (B, 5, 8192), jnp.float32)

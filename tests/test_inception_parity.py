@@ -31,6 +31,13 @@ from hqtransformer_tpu.evaluation.inception import (  # noqa: E402
 def ref_inception():
     if not os.path.isdir('/root/reference'):
         pytest.skip('reference unavailable')
+    # other tests (test_eval) may have cached an empty torchvision stub and
+    # a half-built hqvae.utils.inception under it — evict both so the real
+    # topology stub below is what the reference module binds to
+    for name in list(sys.modules):
+        if name == 'torchvision' or name.startswith('torchvision.') or \
+                name == 'hqvae.utils.inception':
+            del sys.modules[name]
     install_torchvision_stub()
     install_reference()
     mod = ref_module('hqvae.utils.inception')
