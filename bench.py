@@ -38,7 +38,7 @@ CONFIG = os.environ.get('BENCH_CONFIG', os.path.join(
 
 
 def main():
-    batch = int(os.environ.get('BENCH_BATCH', '512'))
+    batch = int(os.environ.get('BENCH_BATCH', '2048'))
     n_loops = int(os.environ.get('BENCH_LOOPS', '3'))
 
     cfg = build_twostage_config(CONFIG)
@@ -84,12 +84,34 @@ def main():
 
     dt = min(times)
     samples_per_sec = batch / dt
-    print(json.dumps({
+
+    # reference-protocol comparison point (measure_throughput/__main__.py:
+    # batch 50, AR + decode counted): one e2e call at bs=50
+    ref_ms_per_sample = None
+    if os.environ.get('BENCH_SKIP_BS50') != '1':
+        labels50 = jnp.arange(50, dtype=jnp.int32) % 1000
+        key, k = jax.random.split(key)
+        c50, p50 = sampler(variables, k, labels50, None)  # compile + fill
+        force(p50)
+        t50 = []
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            t0 = time.perf_counter()
+            c50, p50 = sampler(variables, k, labels50, c50)
+            force(p50)
+            t50.append(time.perf_counter() - t0)
+        ref_ms_per_sample = min(t50) / 50 * 1000
+
+    out = {
         'metric': 'imagenet256_e2e_samples_per_sec_per_chip',
         'value': round(samples_per_sec, 3),
         'unit': 'samples/s',
         'vs_baseline': round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+    }
+    if ref_ms_per_sample is not None:
+        out['ms_per_sample_bs50_reference_protocol'] = round(
+            ref_ms_per_sample, 3)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

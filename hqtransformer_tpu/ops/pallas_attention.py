@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e10
-ROW_CHUNK = 8
+ROW_CHUNK = 8  # 16 measured no better (1.249 vs 1.237 ms/sample)
 
 
 def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,

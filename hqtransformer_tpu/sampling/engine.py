@@ -385,7 +385,8 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                             top_k=(None, None, None),
                             top_p=(None, None, None),
                             temperature=(1.0, 1.0, 1.0),
-                            cache_dtype=None):
+                            cache_dtype=None,
+                            attention: str = 'auto'):
     """Jitted sampler for the 3-level model (`sampling_hqtransformer`,
     `hqvae/utils/sampling.py:240-307` + `hqtransformer.py:409-635`).
 
@@ -423,8 +424,12 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                           method=type(model).sos_tokens)
         t_max = sos_len + max_seq_len - 1
         cdtype = cache_dtype or sos.dtype
-        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
-                       cdtype)
+        if _use_packed_cache(attention, hp.embed_dim, B):
+            t_pad = -(-t_max // 8) * 8
+            kc = jnp.zeros((n_layers, t_pad, B, hp.embed_dim), cdtype)
+        else:
+            kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
+                           cdtype)
         vc = jnp.zeros_like(kc)
         h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
                                     method=type(model).spatial_step)

@@ -141,53 +141,57 @@ def main():
         timeit('depth+sample', run_depth, v2, key)
 
     if 'dfirst' in want:
-        h = jnp.zeros((B, D), jnp.bfloat16)
+        h0 = jnp.zeros((B, D), jnp.bfloat16)
         @jax.jit
         def run_dfirst(v2):
-            def body(carry, i):
+            def body(h, i):
                 lt, kv = m.apply(v2, h,
                                  method=HierarchicalGPT.depth_first_logits)
-                return carry, lt[0, 0]
-            _, out = jax.lax.scan(body, 0, jnp.arange(1, T))
+                h = h + lt[:, :D].astype(h.dtype) * 1e-6  # carry dependency
+                return h, lt[0, 0]
+            _, out = jax.lax.scan(body, h0, jnp.arange(1, T))
             return out
         timeit('depth-first', run_dfirst, v2)
 
     if 'dheads' in want:
-        hx = jnp.zeros((B, 4, D), jnp.bfloat16)
+        hx0 = jnp.zeros((B, 4, D), jnp.bfloat16)
         @jax.jit
         def run_heads(v2):
-            def body(carry, i):
+            def body(hx, i):
                 lb = m.apply(v2, hx,
                              method=lambda mm, v: mm.head_bot(mm.ln_bot(v)))
-                return carry, lb[0, 0, 0]
-            _, out = jax.lax.scan(body, 0, jnp.arange(1, T))
+                hx = hx + lb[:, :, :D].astype(hx.dtype) * 1e-6
+                return hx, lb[0, 0, 0]
+            _, out = jax.lax.scan(body, hx0, jnp.arange(1, T))
             return out
         timeit('head_bot-only', run_heads, v2)
 
     if 'headgemm' in want:
         W = jax.random.normal(key, (D, 8192), jnp.bfloat16) * 0.02
-        hx2 = jnp.zeros((B * 4, D), jnp.bfloat16)
+        hx0 = jnp.zeros((B * 4, D), jnp.bfloat16)
         @jax.jit
         def run_headgemm(W):
-            def body(carry, i):
-                return carry, jnp.dot(hx2, W)[0, 0]
-            _, out = jax.lax.scan(body, 0, jnp.arange(1, T))
+            def body(hx, i):
+                y = jnp.dot(hx, W)
+                return hx + y[:, :D] * 1e-6, y[0, 0]
+            _, out = jax.lax.scan(body, hx0, jnp.arange(1, T))
             return out
         timeit('headgemm-raw', run_headgemm, W)
 
     if 'dsecond' in want:
         h = jnp.zeros((B, D), jnp.bfloat16)
         @jax.jit
-        def run_dsecond(v2, key):
+        def run_dsecond(v2):
             lt, kv0 = m.apply(v2, h, method=HierarchicalGPT.depth_first_logits)
-            def body(key, i):
-                key, ki = jax.random.split(key)
-                lb, kv = m.apply(v2, jnp.zeros((B, 1), jnp.int32), kv0, 1,
+            def body(codes, i):
+                lb, kv = m.apply(v2, codes, kv0, 1,
                                  method=HierarchicalGPT.depth_second_logits)
-                return key, lb[0, 0, 0]
-            _, out = jax.lax.scan(body, key, jnp.arange(1, T))
+                codes = jnp.argmax(lb[:, :1, :], axis=-1).astype(jnp.int32)
+                return codes, lb[0, 0, 0]
+            _, out = jax.lax.scan(body, jnp.zeros((B, 1), jnp.int32),
+                                  jnp.arange(1, T))
             return out
-        timeit('dsecond(+1 dfirst)', run_dsecond, v2, key)
+        timeit('dsecond-real', run_dsecond, v2)
 
     if 'sampling' in want:
         from hqtransformer_tpu.ops.topk_topp import sample_from_logits
@@ -204,15 +208,17 @@ def main():
         timeit('sampling-only', run_sampling, key)
 
     if 'embed' in want:
-        ct = jnp.zeros((B,), jnp.int32)
-        cb = jnp.zeros((B, m.ratio_bot2top), jnp.int32)
+        ct0 = jnp.zeros((B,), jnp.int32)
+        cb0 = jnp.zeros((B, m.ratio_bot2top), jnp.int32)
         @jax.jit
         def run_embed(v2):
             def body(carry, i):
+                ct, cb = carry
                 x = m.apply(v2, ct, cb, jnp.full((B,), i, jnp.int32),
                             method=HierarchicalGPT.embed_cell_step)
-                return carry, x[0, 0, 0]
-            _, out = jax.lax.scan(body, 0, jnp.arange(1, T))
+                ct = (ct + x[:, 0, 0].astype(jnp.int32)) % 8192
+                return (ct, cb), x[0, 0, 0]
+            _, out = jax.lax.scan(body, (ct0, cb0), jnp.arange(1, T))
             return out
         timeit('embed-only', run_embed, v2)
 

@@ -109,3 +109,23 @@ def test_greedy_sampler_matches_forward():
                                   np.asarray(mid_raster))
     np.testing.assert_array_equal(np.asarray(jnp.argmax(logits[2], -1)),
                                   np.asarray(bot_raster))
+
+
+def test_multilevel_packed_attention_matches_einsum():
+    """Packed-cache spatial decode (Pallas kernel on TPU, XLA oracle here)
+    must reproduce the einsum path's token streams for the 3-level model."""
+    _, jm = build_pair('parallel-add', ctx_len_img=4)
+    B, Ttop = 8, 4
+    labels = jnp.arange(B, dtype=jnp.int32) % 10
+    codes = [jnp.zeros((B, Ttop), jnp.int32),
+             jnp.zeros((B, Ttop * 4), jnp.int32),
+             jnp.zeros((B, Ttop * 16), jnp.int32)]
+    variables = jm.init(jax.random.PRNGKey(0), codes, labels)
+    key = jax.random.PRNGKey(3)
+    kw = dict(top_k=(8, 8, 8), temperature=(0.9, 0.9, 0.9))
+    s_e = make_multilevel_sampler(jm, Ttop, attention='einsum', **kw)
+    s_p = make_multilevel_sampler(jm, Ttop, attention='packed', **kw)
+    a = s_e(variables, key, labels)
+    b = s_p(variables, key, labels)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
