@@ -17,6 +17,8 @@ Functional TPU re-design of the reference quantizers
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -69,10 +71,15 @@ def vq_lookup(z_flat: jax.Array, embedding: jax.Array,
     (bit-matches the XLA argmin — tested; avoids materializing the [N, K]
     distance matrix in HBM). Explicit True/False overrides."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == 'tpu'
+        use_pallas = (jax.default_backend() == 'tpu'
+                      and os.environ.get('HQT_DISABLE_PALLAS_VQ') != '1')
     if use_pallas:
         from .pallas_vq import vq_argmin_pallas
-        return vq_argmin_pallas(z_flat, embedding)
+        # integer codes carry no tangent; severing explicitly keeps the
+        # pallas_call out of jvp tracing (it has no jvp rule), so the
+        # kernel works inside differentiated training steps too
+        return vq_argmin_pallas(jax.lax.stop_gradient(z_flat),
+                                jax.lax.stop_gradient(embedding))
     return jnp.argmin(codebook_distances(z_flat, embedding), axis=1)
 
 
