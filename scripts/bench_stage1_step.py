@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Time the jitted stage-1 GAN train step in isolation (no data loader, no
+validation): the number behind README's stage-1 img/s, and the A/B harness
+for the Pallas VQ kernel (HQT_DISABLE_PALLAS_VQ=1 to compare).
+
+Usage: python scripts/bench_stage1_step.py [--batch 16] [--lpips] [--fast]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
+import jax
+import jax.numpy as jnp
+
+from hqtransformer_tpu.config import build_stage1_config
+from hqtransformer_tpu.models.stage1.generator import build_generator
+from hqtransformer_tpu.models.stage1.lpips import LPIPS
+from hqtransformer_tpu.train.scheduler import build_schedule_from_config
+from hqtransformer_tpu.train.stage1 import (Stage1State, make_discriminator,
+                                            make_stage1_optimizer,
+                                            make_stage1_train_step)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', default=os.path.join(
+        os.path.dirname(__file__), '..', 'configs', 'imagenet', 'stage1',
+        'hqvae-pixelshuffle-top8x8.yaml'))
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--steps', type=int, default=20)
+    ap.add_argument('--lpips', action='store_true',
+                    help='include LPIPS (random weights; cost is identical)')
+    ap.add_argument('--fast', action='store_true', help='--fast-gan-step')
+    args = ap.parse_args()
+
+    cfg = build_stage1_config(args.config)
+    res = cfg.dataset.image_resolution
+    generator = build_generator(cfg.stage1, ema_axis_name=None)
+    discriminator = make_discriminator(cfg.stage1.hparams_disc)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, key = jax.random.split(key, 3)
+    x_init = jnp.zeros((1, res, res, 3), jnp.float32)
+    gvars = generator.init(k1, x_init)
+    dvars = discriminator.init(k2, x_init)
+
+    lpips = lpips_vars = None
+    if args.lpips:
+        lpips = LPIPS()
+        lpips_vars = lpips.init(jax.random.PRNGKey(3), x_init, x_init)
+
+    schedule = build_schedule_from_config(cfg.optimizer, 100, 10000,
+                                          world_size=1)
+    g_opt = make_stage1_optimizer(cfg.optimizer, schedule)
+    d_opt = make_stage1_optimizer(cfg.optimizer, schedule)
+    hd = cfg.stage1.hparams_disc
+    step_fn = make_stage1_train_step(
+        generator, discriminator, lpips, g_opt, d_opt, hd,
+        bottom_start=None,
+        residual_l1_weight=hd.residual_l1_weight or 0.0,
+        perceptual_weight=1.0 if args.lpips else 0.0,
+        faithful_double_forward=not args.fast)
+    state = Stage1State(jnp.zeros((), jnp.int32), gvars['params'],
+                        gvars['ema'], dvars['params'],
+                        g_opt.init(gvars['params']),
+                        d_opt.init(dvars['params']))
+    jit_step = jax.jit(step_fn)
+
+    x = jax.random.uniform(jax.random.PRNGKey(4),
+                           (args.batch, res, res, 3), jnp.float32) * 2 - 1
+    key, k = jax.random.split(key)
+    state, metrics = jit_step(state, lpips_vars, x, k)
+    jax.block_until_ready(jax.tree.leaves(metrics))
+    float(metrics['total_loss'])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        key, k = jax.random.split(key)
+        state, metrics = jit_step(state, lpips_vars, x, k)
+    jax.block_until_ready(jax.tree.leaves(state.gen_params)[0])
+    float(metrics['total_loss'])
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f'stage-1 step: {dt * 1000:.1f} ms  '
+          f'({args.batch / dt:.1f} img/s/chip)  '
+          f'lpips={args.lpips} fast={args.fast} '
+          f'pallas_vq={os.environ.get("HQT_DISABLE_PALLAS_VQ") != "1"}')
+
+
+if __name__ == '__main__':
+    main()
