@@ -3,6 +3,8 @@ parallel stage-2 train step matches the single-device step, and the
 scheduler matches the torch reference curve.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -206,3 +208,27 @@ def test_global_batch_feeds_sharded_train_step():
         _, metrics = jax.jit(step)(sh_state, {}, im, lb)
     np.testing.assert_allclose(float(ref_metrics['loss']),
                                float(metrics['loss']), rtol=1e-5)
+
+
+def test_real_two_process_global_batch():
+    """Spawn TWO actual jax processes (gloo CPU collectives): host-major
+    mesh + tp-within-host hold across real process boundaries, and
+    global_batch assembles each host's local slice into the correct global
+    array (the multi-node story of `/root/reference/main_stage1.py:33-34`)."""
+    import socket
+    import subprocess
+    import sys as _sys
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = str(s.getsockname()[1])
+    worker = os.path.join(os.path.dirname(__file__), 'multihost_worker.py')
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('JAX_PLATFORMS', 'XLA_FLAGS')}
+    procs = [subprocess.Popen([_sys.executable, worker, str(i), '2', port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True, env=env)
+             for i in range(2)]
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f'proc {i}:\n{out[-800:]}\n{err[-1500:]}'
+        assert f'MULTIHOST OK {i}' in out
