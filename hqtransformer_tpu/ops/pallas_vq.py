@@ -67,8 +67,17 @@ def vq_argmin_pallas(z_flat: jax.Array, embedding: jax.Array,
     get +inf scores via their |e|^2 column)."""
     n, d = z_flat.shape
     k = embedding.shape[0]
-    n_pad = _round_up(max(n, 8), TILE_N)
-    k_pad = _round_up(k, TILE_K)
+    # adaptive tiles: z + e blocks are double-buffered f32 in VMEM, so keep
+    # 2 * (tile_n + tile_k) * d * 4 bytes within budget (level-3 configs
+    # reach d = 4096, where the default 256/512 tiles OOM scoped vmem)
+    budget = 24 * 1024 * 1024
+    tile_n, tile_k = TILE_N, TILE_K
+    while 2 * (tile_n + tile_k) * d * 4 > budget and tile_k > 128:
+        tile_k //= 2
+        if 2 * (tile_n + tile_k) * d * 4 > budget and tile_n > 128:
+            tile_n //= 2
+    n_pad = _round_up(max(n, 8), tile_n)
+    k_pad = _round_up(k, tile_k)
 
     z = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(
         z_flat.astype(jnp.float32))
@@ -77,21 +86,23 @@ def vq_argmin_pallas(z_flat: jax.Array, embedding: jax.Array,
     esq = jnp.full((1, k_pad), jnp.inf, jnp.float32).at[0, :k].set(
         jnp.sum(embedding.astype(jnp.float32) ** 2, axis=1))
 
-    grid = (n_pad // TILE_N, k_pad // TILE_K)
+    grid = (n_pad // tile_n, k_pad // tile_k)
     codes = pl.pallas_call(
         _vq_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE_K, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, TILE_K), lambda i, j: (0, j)),
+            pl.BlockSpec((tile_n, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_k, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_k), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((TILE_N, 1), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((TILE_N, 1), jnp.float32),
-            pltpu.VMEM((TILE_N, 1), jnp.int32),
+            pltpu.VMEM((tile_n, 1), jnp.float32),
+            pltpu.VMEM((tile_n, 1), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * k_pad * d,
             bytes_accessed=(n_pad * d + k_pad * d) * 4 + n_pad * 4,
