@@ -191,3 +191,29 @@ def test_packed_attention_sampler_matches_einsum():
     t2, b2 = s_pkd(variables, key, labels)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_packed_attention_txt_prefix_matches_einsum():
+    """Text conditioning exercises the packed PREFILL (multi-token prefix
+    at cache_len 0) — streams must match the einsum path exactly."""
+    spec = parse_model_type('hq-transformer/parallel')
+    model = HierarchicalGPT(vocab_size_top=64, vocab_size_bot=64,
+                            vocab_size_txt=32, ratio_bot2top=4,
+                            use_cls_cond=False, use_txt_cond=True,
+                            model_type=spec, hparams=tiny_hparams())
+    B, Ttop, N = 8, 16, 8
+    texts = jnp.ones((B, N), jnp.int32) * 3
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((B, Ttop), jnp.int32),
+                           jnp.zeros((B, Ttop * 4), jnp.int32), texts)
+    sp = SamplingParams(top_k_top=16, top_k_bot=16, temperature_top=0.9,
+                        temperature_bot=0.9)
+    key = jax.random.PRNGKey(7)
+    t1, b1 = make_hierarchical_sampler(model, Ttop, sp,
+                                       attention='einsum')(variables, key,
+                                                           texts)
+    t2, b2 = make_hierarchical_sampler(model, Ttop, sp,
+                                       attention='packed')(variables, key,
+                                                           texts)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
