@@ -86,21 +86,25 @@ def main():
     samples_per_sec = batch / dt
 
     # reference-protocol comparison point (measure_throughput/__main__.py:
-    # batch 50, AR + decode counted): one e2e call at bs=50
+    # batch 50, AR + decode counted): one e2e call at bs=50. Best-effort —
+    # never allowed to cost the primary metric (extra compile, OOM, etc.)
     ref_ms_per_sample = None
     if os.environ.get('BENCH_SKIP_BS50') != '1':
-        labels50 = jnp.arange(50, dtype=jnp.int32) % 1000
-        key, k = jax.random.split(key)
-        c50, p50 = sampler(variables, k, labels50, None)  # compile + fill
-        force(p50)
-        t50 = []
-        for _ in range(3):
+        try:
+            labels50 = jnp.arange(50, dtype=jnp.int32) % 1000
             key, k = jax.random.split(key)
-            t0 = time.perf_counter()
-            c50, p50 = sampler(variables, k, labels50, c50)
+            c50, p50 = sampler(variables, k, labels50, None)
             force(p50)
-            t50.append(time.perf_counter() - t0)
-        ref_ms_per_sample = min(t50) / 50 * 1000
+            t50 = []
+            for _ in range(2):
+                key, k = jax.random.split(key)
+                t0 = time.perf_counter()
+                c50, p50 = sampler(variables, k, labels50, c50)
+                force(p50)
+                t50.append(time.perf_counter() - t0)
+            ref_ms_per_sample = min(t50) / 50 * 1000
+        except Exception as e:                      # pragma: no cover
+            print(f'bs50 protocol section skipped: {e!r}', file=sys.stderr)
 
     out = {
         'metric': 'imagenet256_e2e_samples_per_sec_per_chip',
