@@ -1,0 +1,86 @@
+"""L0 CLI smoke: train stage-1 for a few steps on a synthetic imagefolder,
+resume from the checkpoint, evaluate with eval_stage1.py, and run the
+txt2img sampler — the entry-script surfaces not covered by
+test_e2e_pipeline (`/root/reference/main_stage1.py`, `eval_stage1.py`,
+`sampling_hqmodel_txt2img.py`)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY1 = os.path.join(REPO, 'configs', 'tiny', 'stage1-tiny.yaml')
+TINY2 = os.path.join(REPO, 'configs', 'tiny', 'stage2-tiny.yaml')
+
+
+def _run(argv, timeout=900):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    p = subprocess.run([sys.executable] + argv, cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert p.returncode == 0, (
+        f'{argv[0]} failed:\n{p.stdout[-2500:]}\n{p.stderr[-2500:]}')
+    return p
+
+
+@pytest.fixture(scope='module')
+def image_root(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp('imgs')
+    rng = np.random.RandomState(0)
+    # the test env runs 8 virtual CPU devices -> global batch 16
+    for split, n in [('train', 32), ('val', 4)]:
+        d = root / split / 'class_a'
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3),
+                                        np.uint8)).save(d / f'{i}.png')
+    return root
+
+
+def test_train_resume_eval_stage1(tmp_path, image_root):
+    res = tmp_path / 'runs'
+    _run(['main_stage1.py', '-c', TINY1, '-r', str(res),
+          '--data-root', str(image_root), '--max-steps', '3'])
+    run_dir = next((res / 'stage1-tiny').iterdir())
+    ckpt = run_dir / 'ckpt'
+    steps = [p.name for p in ckpt.iterdir() if p.name.isdigit()]
+    assert steps, list(ckpt.iterdir())
+
+    # --resume continues from the saved state (the reference parses the
+    # flag but ignores it, main_stage1.py:37)
+    _run(['main_stage1.py', '-c', TINY1, '-r', str(tmp_path / 'r2'),
+          '--data-root', str(image_root), '--max-steps', '5',
+          '--resume', str(ckpt)])
+
+    p = _run(['eval_stage1.py', '-c', TINY1, '-m', str(ckpt),
+              '--data-root', str(image_root), '--batch-size', '4',
+              '--max-batches', '1', '--code-usage'])
+    assert 'mse' in p.stdout.lower()
+
+
+def test_txt2img_cli_smoke(tmp_path):
+    caps = tmp_path / 'caps.txt'
+    caps.write_text('a red square on a table\na small blue bird\n')
+    out = tmp_path / 'txt2img'
+    # tiny stage-2 config is cls-cond; make a txt-cond variant on the fly
+    import yaml
+    cfg = yaml.safe_load(open(TINY2))
+    cfg['stage2']['use_cls_cond'] = False
+    cfg['stage2']['use_txt_cond'] = True
+    cfg['stage2']['vocab_size_txt'] = 49408
+    cfg['stage2']['hparams']['ctx_len_txt'] = 8
+    cfg['dataset']['tokenizer_type'] = 'bpe16k_huggingface'
+    txt_cfg = tmp_path / 'stage2-txt.yaml'
+    yaml.safe_dump(cfg, open(txt_cfg, 'w'))
+    vocab_dir = '/root/reference/hqvae/tokenizers/pretrained'
+    if not os.path.isdir(vocab_dir):
+        pytest.skip('tokenizer vocab assets unavailable')
+    _run(['sampling_hqmodel_txt2img.py', '--random-init', '-c',
+          str(txt_cfg), '-r', str(out), '--captions', str(caps),
+          '--batch-size', '2', '--top-k', '64', '--dtype', 'float32',
+          '--vocab-dir', vocab_dir])
+    assert list(out.glob('samples_*.pkl'))
