@@ -20,6 +20,12 @@ HBM even when only `pos+1` rows are valid. This kernel fixes both:
 
 Equivalent of the reference's cached sampling attention
 (`hqvae/models/stage2/layers.py:93-123`).
+
+Numerics: in f32 this path emits streams identical to the einsum path
+(tested). In bf16 the P = q (*) K products round to bf16 before the f32
+head-sum, where the MXU einsum accumulates unrounded — an ulp-level
+difference of the same class as the reference's fp16-autocast sampling
+vs its fp32 forward; per-seed determinism holds in both modes.
 """
 
 from __future__ import annotations
