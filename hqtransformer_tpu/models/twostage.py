@@ -161,7 +161,8 @@ class TwoStageModel:
     # ------------------------------------------------------------- sampling
     def make_pixel_sampler(self, max_seq_len: Optional[int] = None,
                            params: SamplingParams = SamplingParams(),
-                           cache_dtype=None, decode_chunk: int = 128):
+                           cache_dtype=None, decode_chunk: int = 128,
+                           attention: str = 'auto'):
         """Jitted end-to-end sampler: labels -> pixels in [0, 1].
 
         Fuses the AR loop and the stage-1 `decode_code` into one XLA program
@@ -173,7 +174,8 @@ class TwoStageModel:
         assert isinstance(self.stage2, HierarchicalGPT)
         Ttop = max_seq_len or self.top_res * self.top_res
         sampler = make_hierarchical_sampler(self.stage2, Ttop, params,
-                                            cache_dtype=cache_dtype)
+                                            cache_dtype=cache_dtype,
+                                            attention=attention)
         top_res = int(math.isqrt(Ttop))
 
         def decode(variables, ct, cb):
@@ -210,7 +212,8 @@ class TwoStageModel:
     def make_pipelined_sampler(self, max_seq_len: Optional[int] = None,
                                params: SamplingParams = SamplingParams(),
                                cache_dtype=None, decode_chunk: int = 128,
-                               n_segments: int = 2):
+                               n_segments: int = 2,
+                               attention: str = 'auto'):
         """Software-pipelined sampler for steady-state throughput:
         fn(variables, key, labels, prev_codes) -> (codes, pixels) where
         `pixels` decodes PREV_CODES (the previous batch) while the AR loop
@@ -222,7 +225,8 @@ class TwoStageModel:
         Ttop = max_seq_len or self.top_res * self.top_res
         sampler = make_hierarchical_sampler(self.stage2, Ttop, params,
                                             cache_dtype=cache_dtype,
-                                            n_segments=n_segments)
+                                            n_segments=n_segments,
+                                            attention=attention)
         top_res = int(math.isqrt(Ttop))
 
         def decode(variables, codes_t, codes_b):

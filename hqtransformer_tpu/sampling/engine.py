@@ -295,7 +295,8 @@ def make_igpt_sampler(model, max_seq_len: int = 256,
                       top_k: Optional[int] = None,
                       top_p: Optional[float] = None,
                       temperature: float = 1.0,
-                      cache_dtype=None):
+                      cache_dtype=None,
+                      attention: str = 'auto'):
     """Jitted sampler for the flat iGPT baseline (`sampling_igpt`,
     `hqvae/utils/sampling.py:116-161`). Returns fn(variables, key, labels)
     -> codes [B, max_seq_len]."""
@@ -308,8 +309,12 @@ def make_igpt_sampler(model, max_seq_len: int = 256,
         sos = model.apply(variables, B, labels, method=type(model).sos_tokens)
         t_max = max_seq_len
         cdtype = cache_dtype or sos.dtype
-        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
-                       cdtype)
+        if _use_packed_cache(attention, hp.embed_dim, B):
+            kc = jnp.zeros((n_layers, -(-t_max // 8) * 8, B, hp.embed_dim),
+                           cdtype)
+        else:
+            kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
+                           cdtype)
         vc = jnp.zeros_like(kc)
         logits, kc, vc = model.apply(variables, sos, kc, vc, 0,
                                      method=type(model).decode_step)
@@ -340,7 +345,8 @@ def make_txt2img_sampler(model, max_seq_len: int = 256,
                          top_k: Optional[int] = None,
                          top_p: Optional[float] = None,
                          temperature: float = 1.0,
-                         cache_dtype=None):
+                         cache_dtype=None,
+                         attention: str = 'auto'):
     """Jitted sampler for Transformer1d text->image (`sampling`,
     `hqvae/utils/sampling.py:55-113`). fn(variables, key, texts [B, N])
     -> codes [B, max_seq_len]."""
@@ -353,8 +359,12 @@ def make_txt2img_sampler(model, max_seq_len: int = 256,
         x = model.apply(variables, texts, method=type(model).embed_texts)
         t_max = N + max_seq_len
         cdtype = cache_dtype or x.dtype
-        kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
-                       cdtype)
+        if _use_packed_cache(attention, hp.embed_dim, B):
+            kc = jnp.zeros((n_layers, -(-t_max // 8) * 8, B, hp.embed_dim),
+                           cdtype)
+        else:
+            kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
+                           cdtype)
         vc = jnp.zeros_like(kc)
         logits, kc, vc = model.apply(variables, x, kc, vc, 0,
                                      method=type(model).decode_step)

@@ -53,6 +53,11 @@ def parse_args():
     ap.add_argument('--total-samples', type=int, default=50000)
     ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
                     default='bfloat16')
+    ap.add_argument('--attention', choices=['auto', 'packed', 'einsum'],
+                    default='auto',
+                    help='decode-attention impl: packed = fused Pallas '
+                         'kernel over [L,T,B,D] caches (TPU), einsum = '
+                         'per-head XLA path; auto picks per backend')
     return ap.parse_args()
 
 
@@ -104,7 +109,8 @@ def main():
                             temperature_top=temps[0],
                             temperature_bot=temps[1])
         sampler = model.make_pixel_sampler(params=sp,
-                                           cache_dtype=model.dtype)
+                                           cache_dtype=model.dtype,
+                                           attention=args.attention)
     else:
         sampler = model.make_pixel_sampler_multilevel(
             top_k=(args.top_k,) * 3, top_p=(top_p,) * 3,

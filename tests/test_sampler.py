@@ -217,3 +217,32 @@ def test_packed_attention_txt_prefix_matches_einsum():
                                                            texts)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_igpt_and_txt2img_packed_match_einsum():
+    """The flat baselines also support packed caches (prefill + decode)."""
+    from hqtransformer_tpu.models.stage2.transformer import (IGPT,
+                                                             Transformer1d)
+    from hqtransformer_tpu.sampling.engine import (make_igpt_sampler,
+                                                   make_txt2img_sampler)
+    B = 8
+    key = jax.random.PRNGKey(11)
+
+    ig = IGPT(vocab_size_img=64, use_cls_cond=True, hparams=tiny_hparams())
+    labels = jnp.arange(B, dtype=jnp.int32) % 10
+    v = ig.init(jax.random.PRNGKey(0), jnp.zeros((B, 16), jnp.int32), labels)
+    a = make_igpt_sampler(ig, 16, top_k=16, temperature=0.9,
+                          attention='einsum')(v, key, labels)
+    b = make_igpt_sampler(ig, 16, top_k=16, temperature=0.9,
+                          attention='packed')(v, key, labels)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    t1d = Transformer1d(vocab_size_txt=32, vocab_size_img=64,
+                        hparams=tiny_hparams())
+    texts = jnp.ones((B, 8), jnp.int32) * 2
+    v = t1d.init(jax.random.PRNGKey(0), jnp.zeros((B, 16), jnp.int32), texts)
+    a = make_txt2img_sampler(t1d, 16, top_k=16, temperature=0.9,
+                             attention='einsum')(v, key, texts)
+    b = make_txt2img_sampler(t1d, 16, top_k=16, temperature=0.9,
+                             attention='packed')(v, key, texts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
