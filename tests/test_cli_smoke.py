@@ -84,3 +84,16 @@ def test_txt2img_cli_smoke(tmp_path):
           '--batch-size', '2', '--top-k', '64', '--dtype', 'float32',
           '--vocab-dir', vocab_dir])
     assert list(out.glob('samples_*.pkl'))
+
+
+def test_main_stage2_smoke(tmp_path, image_root):
+    """Stage-2 training CLI (the launch script the reference deliberately
+    never released, configs/README.md:27): a few steps against a random
+    stage-1 on the synthetic imagefolder."""
+    res = tmp_path / 's2'
+    p = _run(['main_stage2.py', '-c', TINY2, '-r', str(res),
+              '--data-root', str(image_root), '--max-steps', '3'])
+    run_dir = next((res / 'stage2-tiny').iterdir())
+    assert (run_dir / 'train.log').exists()
+    log = (run_dir / 'train.log').read_text()
+    assert 'step 1/' in log and 'loss' in log
