@@ -193,7 +193,11 @@ def decode_attention_step(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     L, T, _, _ = k_cache.shape
     if block_b == 0:
         # 32 measured fastest at flagship shapes (3.25 vs 3.57 ms/step @64)
-        block_b = next(bb for bb in (32, 64, 16, 8) if B % bb == 0)
+        block_b = next((bb for bb in (32, 64, 16, 8) if B % bb == 0), None)
+        if block_b is None:
+            raise ValueError(
+                f'packed decode attention needs batch divisible by 8, got '
+                f'{B}; pad the batch or use attention="einsum"')
     assert B % block_b == 0 and T % ROW_CHUNK == 0, (B, T)
     scalars = jnp.stack([jnp.asarray(layer, jnp.int32),
                          jnp.asarray(pos, jnp.int32)])

@@ -33,11 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_B = 128
 LANE = 128
 # Bisection window below the row max. Elements further than 44 below the
-# max have exp(x - max) < 7e-20; against a total mass >= exp(0) = 1 their
-# f32 CDF increment rounds to exactly zero (2^-24 relative), so inverse-CDF
-# can never select them — restricting the top-k threshold search to
-# [max-44, max] leaves the sampling distribution bit-identical while saving
-# bisection passes (each pass is a full VPU sweep of the logits tile).
+# max have exp(x - max) < 7e-20 against a total mass >= exp(0) = 1, so in a
+# single f32 accumulation their CDF increment rounds to zero (2^-24
+# relative) and inverse-CDF can essentially never select them. The
+# two-level prefix sum does accumulate small blocks separately, so logits
+# in (max-88, max-44) can retain nonzero mass in blocks not containing the
+# row max — the distribution shift from clamping the top-k threshold to
+# [max-44, max] is therefore negligible (<~1e-16 total mass), not strictly
+# bit-identical. Restricting the search saves bisection passes (each pass
+# is a full VPU sweep of the logits tile).
 BISECT_RANGE = 44.0
 BISECT_ITERS = 26  # 44 / 2^26 ~ 6.6e-7: below f32 ulp of typical logits
 

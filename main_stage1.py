@@ -198,7 +198,9 @@ def main():
     host_bs = local_bs * jax.local_device_count()
     loader_cfg = LoaderConfig(batch_size=host_bs, resolution=res,
                               dataset_name=cfg.dataset.dataset or 'imagenet',
-                              train=True, seed=args.seed)
+                              train=True, seed=args.seed,
+                              shard_index=jax.process_index(),
+                              shard_count=jax.process_count())
     assert len(train_ds) >= global_bs, (
         f'dataset ({len(train_ds)} images) smaller than one global batch '
         f'({global_bs}); reduce local_batch_size')

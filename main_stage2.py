@@ -197,7 +197,9 @@ def main():
         host_bs = cfg.experiment.local_batch_size * (jax.local_device_count() // args.tp)
         loader_cfg = LoaderConfig(batch_size=host_bs, resolution=res,
                                   dataset_name=cfg.dataset.dataset or
-                                  'imagenet', train=True, seed=args.seed)
+                                  'imagenet', train=True, seed=args.seed,
+                                  shard_index=jax.process_index(),
+                                  shard_count=jax.process_count())
         assert len(train_ds) >= global_bs, (
             f'dataset ({len(train_ds)} images) smaller than one global '
             f'batch ({global_bs}); reduce local_batch_size')

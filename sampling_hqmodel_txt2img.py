@@ -122,6 +122,10 @@ def main():
         sd = torch.load(args.clip_weights, map_location='cpu')
         sd = sd.state_dict() if hasattr(sd, 'state_dict') else sd
         clip_vars = load_torch_clip(cvars, sd)
+        # CLIP's text tower needs its own 49408-token BPE (sot/eot-wrapped),
+        # NOT the model's caption tokenizer (the reference notebook uses
+        # clip.tokenize separately from the dataset tokenizer).
+        clip_tokenizer = create_tokenizer('clip', vocab_dir=args.vocab_dir)
         print('CLIP weights loaded for re-ranking')
 
     for bi in tqdm(range(n_batches), total=n_batches):
@@ -139,7 +143,7 @@ def main():
                 px = np.asarray(pixels, np.float32)
                 order, scores = clip_rerank(
                     clip_model, clip_vars, px,
-                    np.asarray(tokenizer.encode_padded(cap, 77),
+                    np.asarray(clip_tokenizer.encode_padded(cap, 77),
                                np.int32)[None])
                 ranked_all.append(px[order])
                 scores_all.append(scores)
