@@ -3,10 +3,12 @@
 Mirrors the reference registry (`hqvae/tokenizers/__init__.py:15-38`):
 HuggingFace BertWordPiece / ByteLevelBPE / CharBPE tokenizers built from the
 same vocab files, plus padding/truncation to context_length with a [PAD]
-token (`datasets/__init__.py:128-147`). The vocab files themselves are data
-assets of the reference (`hqvae/tokenizers/pretrained/`,
-`checkpoints/*.txt|json`); pass their location via `vocab_dir` — they are
-not vendored into this repo.
+token (`datasets/__init__.py:128-147`). The vocab files are PUBLIC data
+assets (OpenAI CLIP's bpe_simple_vocab_16e6, HuggingFace BPE/WordPiece
+vocabs — the same files the reference bundles under
+`hqvae/tokenizers/pretrained/`); a copy is vendored under
+`hqtransformer_tpu/assets/tokenizers/` so txt2img is self-contained, and
+`vocab_dir=` / --vocab-dir / HQT_VOCAB_DIR override the location.
 """
 
 from __future__ import annotations
@@ -14,24 +16,23 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
+_BUNDLED_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'assets', 'tokenizers')
+
+
 def _find(vocab_dir: Optional[str], *names: str) -> str:
-    """Resolve a tokenizer asset. The location must be explicit: pass
-    `vocab_dir=` (the CLIs expose `--vocab-dir`) or set HQT_VOCAB_DIR.
-    There is deliberately NO implicit default — vocab files are external
-    data assets, not part of this framework."""
+    """Resolve a tokenizer asset: explicit `vocab_dir=` (the CLIs expose
+    `--vocab-dir`) or HQT_VOCAB_DIR take precedence; otherwise fall back to
+    the vendored copies under `hqtransformer_tpu/assets/tokenizers/`."""
     if vocab_dir is None:
         vocab_dir = os.environ.get('HQT_VOCAB_DIR')
-    if not vocab_dir:
-        raise FileNotFoundError(
-            f'tokenizer asset {names} requires an explicit location: pass '
-            f'vocab_dir= / --vocab-dir or set HQT_VOCAB_DIR to a directory '
-            f'containing the vocab files (the reference bundles them under '
-            f'hqvae/tokenizers/pretrained/ and checkpoints/)')
-    for n in names:
-        p = os.path.join(vocab_dir, n)
-        if os.path.exists(p):
-            return p
-    raise FileNotFoundError(f'{names} not found under {vocab_dir}')
+    for d in filter(None, (vocab_dir, _BUNDLED_DIR)):
+        for n in names:
+            p = os.path.join(d, n)
+            if os.path.exists(p):
+                return p
+    raise FileNotFoundError(
+        f'{names} not found under {vocab_dir or _BUNDLED_DIR}')
 
 
 class HFTokenizerWrapper:

@@ -63,19 +63,20 @@ def test_loader_deterministic_and_sharded(fake_root):
 
 def test_tokenizer_padding():
     pytest.importorskip('tokenizers')
-    if not os.path.isdir('/root/reference'):
-        pytest.skip('reference vocab assets unavailable')
     from hqtransformer_tpu.data.tokenizers import create_tokenizer
-    # asset locations are explicit by design (no implicit reference-mount
-    # fallback); the test supplies the dir like a user would
-    tok = create_tokenizer(
-        'bpe16k_huggingface',
-        vocab_dir='/root/reference/hqvae/tokenizers/pretrained')
+    # no vocab_dir: resolves from the vendored assets
+    # (hqtransformer_tpu/assets/tokenizers/) so txt2img is self-contained
+    os.environ.pop('HQT_VOCAB_DIR', None)
+    tok = create_tokenizer('bpe16k_huggingface')
     ids = tok.encode_padded('a small test caption', 16)
     assert len(ids) == 16
     ids2 = tok.encode_padded('a small test caption', 16)
     assert ids == ids2
 
-    with pytest.raises(FileNotFoundError, match='explicit location'):
-        os.environ.pop('HQT_VOCAB_DIR', None)
-        create_tokenizer('bpe16k_huggingface')
+    # an explicit vocab_dir takes precedence; the vendored files match the
+    # reference's pretrained assets byte-for-byte
+    if os.path.isdir('/root/reference/hqvae/tokenizers/pretrained'):
+        tok2 = create_tokenizer(
+            'bpe16k_huggingface',
+            vocab_dir='/root/reference/hqvae/tokenizers/pretrained')
+        assert tok2.encode_padded('a small test caption', 16) == ids
