@@ -25,6 +25,7 @@ import numpy as np
 from hqtransformer_tpu.evaluation.fid import (InceptionExtractor,
                                               compute_activations_from_files,
                                               frechet_distance,
+                                              make_extractor,
                                               mean_covar_numpy)
 from hqtransformer_tpu.evaluation.prdc import compute_prdc
 
@@ -41,11 +42,15 @@ DATASET_ACTS_FOR_PRDC = {
 
 
 def compute_fid_prdc(result_path, ref_stat_path=None, ref_feature_path=None,
-                     inception_weights=None, max_samples=None):
+                     inception_weights=None, max_samples=None,
+                     feature_extractor='inception'):
     """(`eval_hqmodel.py:14-68`)"""
-    act_path = Path(result_path) / 'acts.npz'
+    suffix = '' if feature_extractor == 'inception' else \
+        f'_{feature_extractor}'
+    act_path = Path(result_path) / f'acts{suffix}.npz'
     if not act_path.exists():
-        extractor = InceptionExtractor(weights_path=inception_weights)
+        extractor = make_extractor(feature_extractor,
+                                   weights_path=inception_weights)
         acts = compute_activations_from_files(result_path, extractor,
                                               max_samples=max_samples)
         mu, sigma = mean_covar_numpy(acts)
@@ -83,6 +88,11 @@ def main():
     ap.add_argument('--inception-weights', type=str,
                     default=os.environ.get('FID_INCEPTION_WEIGHTS'))
     ap.add_argument('--max-samples', type=int, default=None)
+    ap.add_argument('--feature-extractor', type=str, default='inception',
+                    choices=['inception', 'pixels'],
+                    help="'pixels' = weightless pixel-space Frechet "
+                         "distance (random-init Inception features "
+                         "collapse; see evaluation.fid.PixelExtractor)")
     args = ap.parse_args()
 
     logging.basicConfig(
@@ -101,7 +111,8 @@ def main():
         ref_feats = cand if os.path.exists(cand) else None
 
     metrics = compute_fid_prdc(args.result_path, ref_stat, ref_feats,
-                               args.inception_weights, args.max_samples)
+                               args.inception_weights, args.max_samples,
+                               feature_extractor=args.feature_extractor)
     print({k: round(float(v), 4) for k, v in metrics.items()})
 
 

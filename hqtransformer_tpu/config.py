@@ -290,6 +290,10 @@ def build_stage1_config(config_path: str) -> Stage1TrainConfig:
         cfg.stage1.hparams_aux = VQGAN2Hparams()
     elif s1_type != 'vqgan':
         raise ValueError(f'{s1_type} not supported..')
+    # a combined two-stage YAML may be passed for stage-1 training (e.g.
+    # scripts/demo_convergence.py drives both CLIs off one file); the
+    # stage-2 section is simply not stage-1 training state
+    data = {k: v for k, v in data.items() if k != 'stage2'}
     _merge_into_dataclass(cfg, data)
     return cfg
 
@@ -300,6 +304,10 @@ def build_twostage_config(config_path: str) -> TwoStageConfig:
     cfg.stage1.hparams_aux = VQGAN2Hparams()
     cfg.stage2.hparams = Stage2Hparams()
     data = load_yaml(config_path)
+    # tolerate combined train+sample YAMLs that carry stage-1 GAN hparams
+    # (unused by the two-stage model itself)
+    if (data.get('stage1') or {}).get('hparams_disc'):
+        cfg.stage1.hparams_disc = Stage1HparamsDisc()
     _merge_into_dataclass(cfg, data)
     return cfg
 

@@ -101,6 +101,41 @@ class InceptionExtractor:
         return np.concatenate(outs, axis=0)
 
 
+class PixelExtractor:
+    """Weightless fallback feature extractor: average-pooled pixels
+    ([grid, grid, 3] -> flat), giving a pixel-space Frechet distance.
+
+    A RANDOM-init Inception is useless for FID (its deep stack collapses
+    to near-constant 2048-d features, measured per-dim std ~1e-5), so in
+    environments without the pt_inception weights this provides a feature
+    space in which distribution distances still order correctly (color +
+    coarse structure). NOT comparable to published FID numbers.
+    """
+
+    def __init__(self, grid: int = 8, batch_size: int = 100):
+        self.grid = grid
+        self.batch_size = batch_size
+
+    def features(self, images01_nhwc: np.ndarray) -> np.ndarray:
+        x = np.asarray(images01_nhwc, np.float32)
+        n, h, w, c = x.shape
+        g = min(self.grid, h, w)
+        hb, wb = h // g, w // g
+        x = x[:, :hb * g, :wb * g]
+        x = x.reshape(n, g, hb, g, wb, c).mean(axis=(2, 4))
+        return x.reshape(n, -1)
+
+
+def make_extractor(kind: str = 'inception', weights_path=None,
+                   batch_size: int = 100):
+    """'inception' (weights_path for real FID) or 'pixels' (weightless)."""
+    if kind == 'pixels':
+        return PixelExtractor(batch_size=batch_size)
+    assert kind == 'inception', kind
+    return InceptionExtractor(weights_path=weights_path,
+                              batch_size=batch_size)
+
+
 def iter_sample_files(result_path: str) -> Iterable[np.ndarray]:
     """Yield [B, H, W, 3] float batches in [0, 1] from the pickled sample
     files written by sampling_hqmodel*.py (`fid_utils.py:231-296`)."""

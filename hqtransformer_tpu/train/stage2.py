@@ -26,16 +26,21 @@ def log_prob_from_logits(x, axis=-1):
 
 
 def soft_target_cross_entropy(logits, target, label_smoothing: float = 0.0):
-    """CE against soft targets (`models/__init__.py:36-47`), mean-reduced."""
+    """CE against soft targets (`models/__init__.py:36-47`), mean-reduced
+    in f32 (see cross_entropy)."""
+    target = target.astype(jnp.float32)
     unif = jnp.ones_like(target) / target.shape[-1]
     target = label_smoothing * unif + (1 - label_smoothing) * target
-    loss = jnp.sum(-target * log_prob_from_logits(logits, axis=-1), axis=-1)
+    loss = jnp.sum(-target * log_prob_from_logits(
+        logits.astype(jnp.float32), axis=-1), axis=-1)
     return loss.mean()
 
 
 def cross_entropy(logits, codes):
-    """Mean CE over all positions (F.cross_entropy on flattened logits)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    """Mean CE over all positions (F.cross_entropy on flattened logits).
+    Always reduced in f32 — bf16-compute models emit bf16 logits and the
+    log-softmax/mean must not accumulate at half precision."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
     return nll.mean()
 

@@ -57,6 +57,10 @@ def parse_args():
     ap.add_argument('--tp', type=int, default=1,
                     help='tensor-parallel mesh axis size')
     ap.add_argument('--vocab-dir', type=str, default=None)
+    ap.add_argument('--bf16', action='store_true',
+                    help='bf16 activations with f32 master params (losses '
+                         'and optimizer statistics stay f32) — the TPU '
+                         'analogue of the reference fp16 autocast recipe')
     return ap.parse_args()
 
 
@@ -72,18 +76,29 @@ def main():
     logger = RunLogger(run_dir, cfg)
     logger.line(f'devices: {jax.devices()}')
 
-    model = TwoStageModel(cfg)
+    model = TwoStageModel(cfg, dtype=jnp.bfloat16 if args.bf16
+                          else jnp.float32)
     variables = model.init_variables(jax.random.PRNGKey(args.seed))
     if args.stage1_ckpt:
-        sd = load_torch_checkpoint(args.stage1_ckpt)
-        if any(k.startswith('generator.') for k in sd):
-            sd = {k[len('generator.'):]: v for k, v in sd.items()
-                  if k.startswith('generator.')}
-        elif any(k.startswith('stage1.') for k in sd):
-            sd = {k[len('stage1.'):]: v for k, v in sd.items()
-                  if k.startswith('stage1.')}
-        variables['stage1'] = convert_torch_state_dict(
-            sd, variables['stage1'])
+        if os.path.isdir(args.stage1_ckpt):
+            # orbax dir written by main_stage1.py (Stage1State tree):
+            # restore the latest step's generator params + EMA buffers
+            from hqtransformer_tpu.checkpoint import restore_checkpoint
+            steps = sorted(int(p) for p in os.listdir(args.stage1_ckpt)
+                           if p.isdigit())
+            state1 = restore_checkpoint(args.stage1_ckpt, step=steps[-1])
+            variables['stage1'] = {'params': state1['gen_params'],
+                                   'ema': state1['ema']}
+        else:
+            sd = load_torch_checkpoint(args.stage1_ckpt)
+            if any(k.startswith('generator.') for k in sd):
+                sd = {k[len('generator.'):]: v for k, v in sd.items()
+                      if k.startswith('generator.')}
+            elif any(k.startswith('stage1.') for k in sd):
+                sd = {k[len('stage1.'):]: v for k, v in sd.items()
+                      if k.startswith('stage1.')}
+            variables['stage1'] = convert_torch_state_dict(
+                sd, variables['stage1'])
         logger.line(f'stage1 restored from {args.stage1_ckpt}')
     else:
         logger.line('WARNING: training stage-2 against a RANDOM stage-1 '
@@ -234,6 +249,13 @@ def main():
 
     save_checkpoint(os.path.join(run_dir, 'ckpt'),
                     jax.device_get(state.params), step)
+    # combined sampler-ready checkpoint (frozen stage-1 + trained stage-2),
+    # restorable directly by sampling_hqmodel.py — mirrors the reference's
+    # released stage-2 .ckpt files which bundle both stages' weights
+    save_checkpoint(os.path.join(run_dir, 'ckpt_full'),
+                    {'stage1': jax.device_get(stage1_vars),
+                     'stage2': {'params': jax.device_get(state.params)}},
+                    step)
     logger.line(f'final checkpoint saved @ step {step}')
     logger.close()
 

@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hqtransformer_tpu.data.datasets import build_dataset
 from hqtransformer_tpu.evaluation.fid import (InceptionExtractor,
-                                              compute_statistics_from_dataset)
+                                              compute_statistics_from_dataset,
+                                              make_extractor)
 
 
 def main():
@@ -36,16 +37,22 @@ def main():
     ap.add_argument('--inception-weights', type=str, default=None,
                     help='pt_inception-2015-12-05 torch file; REQUIRED for '
                          'real statistics (random init otherwise)')
+    ap.add_argument('--feature-extractor', type=str, default='inception',
+                    choices=['inception', 'pixels'],
+                    help="'pixels' = weightless pixel-space features "
+                         "(matching eval_hqmodel.py --feature-extractor)")
     args = ap.parse_args()
 
-    if not args.inception_weights:
+    if args.feature_extractor == 'inception' and not args.inception_weights:
         print('WARNING: no --inception-weights given; statistics use a '
               'randomly initialized Inception and are NOT comparable to '
-              'published FID numbers', file=sys.stderr)
+              'published FID numbers (consider --feature-extractor pixels)',
+              file=sys.stderr)
 
     dataset = build_dataset(args.dataset, args.data_root, args.split)
-    extractor = InceptionExtractor(weights_path=args.inception_weights,
-                                   batch_size=args.batch_size)
+    extractor = make_extractor(args.feature_extractor,
+                               weights_path=args.inception_weights,
+                               batch_size=args.batch_size)
     compute_statistics_from_dataset(dataset, extractor, args.out,
                                     resolution=args.resolution,
                                     max_samples=args.max_samples,

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, NH, HD, T, L = 512, 24, 64, 64, 12
+B, NH, HD, T, L = int(os.environ.get('ATTN_B', '512')), 24, 64, 64, 12
 D = NH * HD
 STEPS = 63
 DT = jnp.bfloat16
@@ -111,7 +111,11 @@ def main():
             decode_attention_step)
         bb = int(os.environ.get('ATTN_BLOCK_B', '32'))
 
-        def pallas_scan(kc, vc, x0):
+        def pallas_scan(x0):
+            # caches allocated inside jit: passing 4.8 GB args at B=2048
+            # doubles HBM and OOMs
+            kc = jnp.zeros((L, T, B, D), DT)
+            vc = jnp.zeros_like(kc)
             def body(carry, i):
                 kc, vc = carry
                 x = x0[:, 0, :]
@@ -122,9 +126,7 @@ def main():
             (kc, vc), out = jax.lax.scan(body, (kc, vc), jnp.arange(1, T))
             return out
 
-        kc = jnp.zeros((L, T, B, D), DT)
-        timeit(f'E pallas (bb={bb})', jax.jit(pallas_scan),
-               kc, jnp.zeros_like(kc), x0)
+        timeit(f'E pallas (bb={bb})', jax.jit(pallas_scan), x0)
 
     # D) gemm-only floor: qkv + proj + mlp for 12 layers, no attention
     Ws = [dict(

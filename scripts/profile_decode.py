@@ -95,14 +95,26 @@ def main():
         timeit('ar(1seg)', s1, v2, key, labels)
 
     T = 64
-    kc = jnp.zeros((L, B, nh, T, hd), cdt)
-    vc = jnp.zeros_like(kc)
+    packed = jax.default_backend() == 'tpu'
+
+    def make_caches():
+        # caches are created INSIDE the jitted fn: passing them as args
+        # doubles the HBM footprint (args can't alias the carry) and OOMs
+        # at B=2048
+        if packed:
+            kc = jnp.zeros((L, T, B, D), cdt)   # packed: Pallas kernel path
+        else:
+            kc = jnp.zeros((L, B, nh, T, hd), cdt)
+        return kc, jnp.zeros_like(kc)
+
     x1 = jnp.zeros((B, 1, D), jnp.bfloat16)
 
     if 'spatial' in want:
-        # spatial transformer only: constant input token, cache carried
+        # spatial transformer only: constant input token, cache carried —
+        # same packed-cache kernel path the sampler uses on TPU
         @jax.jit
-        def run_spatial(v2, kc, vc):
+        def run_spatial(v2):
+            kc, vc = make_caches()
             def body(carry, i):
                 kc, vc = carry
                 h, kc, vc = m.apply(v2, x1, kc, vc, i,
@@ -111,21 +123,24 @@ def main():
             (kc, vc), hs = jax.lax.scan(body, (kc, vc),
                                         jnp.arange(1, T))
             return hs
-        timeit('spatial-only', run_spatial, v2, kc, vc)
+        timeit('spatial-only', run_spatial, v2)
 
     if 'carry' in want:
         # carry-copy overhead probe: same scan, body only touches one row
         @jax.jit
-        def run_carry(kc, vc):
-            row = jnp.ones((L, B, nh, 1, hd), cdt)
+        def run_carry():
+            kc, vc = make_caches()
+            row = jnp.ones((L, B, nh, 1, hd), cdt) if not packed else \
+                jnp.ones((L, 1, B, D), cdt)
             def body(carry, i):
                 kc, vc = carry
-                kc = jax.lax.dynamic_update_slice(kc, row, (0, 0, 0, i, 0))
-                vc = jax.lax.dynamic_update_slice(vc, row, (0, 0, 0, i, 0))
-                return (kc, vc), kc[0, 0, 0, 0, 0]
+                at = (0, 0, 0, i, 0) if not packed else (0, i, 0, 0)
+                kc = jax.lax.dynamic_update_slice(kc, row, at)
+                vc = jax.lax.dynamic_update_slice(vc, row, at)
+                return (kc, vc), kc.reshape(-1)[0]
             (kc, vc), out = jax.lax.scan(body, (kc, vc), jnp.arange(1, T))
             return out
-        timeit('carry-only', run_carry, kc, vc)
+        timeit('carry-only', run_carry)
 
     if 'depth' in want:
         # depth head + sampling, fixed h, no cache carry
@@ -195,9 +210,13 @@ def main():
 
     if 'sampling' in want:
         from hqtransformer_tpu.ops.topk_topp import sample_from_logits
-        logits = jax.random.normal(key, (B, 5, 8192), jnp.float32)
+        # logits as a jit ARG (a captured constant this size breaks the
+        # remote-compile upload) in the sampler's real dtype (bf16 model
+        # heads emit bf16 logits)
+        logits = jax.device_put(jax.random.normal(
+            key, (B, 5, 8192), jnp.float32).astype(jnp.bfloat16))
         @jax.jit
-        def run_sampling(key):
+        def run_sampling(key, logits):
             def body(key, i):
                 key, ki = jax.random.split(key)
                 c = sample_from_logits(ki, logits, temperature=0.95,
@@ -205,7 +224,7 @@ def main():
                 return key, c[0, 0]
             _, out = jax.lax.scan(body, key, jnp.arange(1, T))
             return out
-        timeit('sampling-only', run_sampling, key)
+        timeit('sampling-only', run_sampling, key, logits)
 
     if 'embed' in want:
         ct0 = jnp.zeros((B,), jnp.int32)
@@ -231,7 +250,11 @@ def main():
                 px = model.stage1.apply(
                     variables['stage1'], *args,
                     method=type(model.stage1).decode_code)
-                return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
+                # per-chunk reduction instead of stacking pixels: the
+                # mapped [n, 128, 256, 256, 3] bf16 output picks a
+                # lane-padded layout (3 -> 128) and OOMs at B=2048
+                return jnp.sum(jnp.clip(px * 0.5 + 0.5, 0.0, 1.0),
+                               axis=(1, 2, 3))
             n = B // 128
             return jax.lax.map(dec_chunk, (ct.reshape(n, 128, 8, 8),
                                            cb.reshape(n, 128, 16, 16)))
