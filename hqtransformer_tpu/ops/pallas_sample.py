@@ -7,12 +7,23 @@ threshold, a 10M-element PRNG for the Gumbel draw, softmax passes — each a
 separate kernel launch per AR step. This kernel does the whole pipeline in
 ONE launch with the logits row-tile resident in VMEM:
 
-  1. per-row k-th-value threshold by bisection (on-chip loop, no launches);
+  1. per-row k-th-value threshold by bisection (on-chip loop, no launches).
+     The loop EARLY-EXITS once every row has either hit an exact count == k
+     (the bracket landed inside the v_k/v_{k+1} gap — typical after ~12-15
+     of the 26 worst-case halvings) or converged to tolerance, and the
+     per-row >=mid counts are summed on the MXU (ones-matmul) instead of a
+     VPU lane reduction;
   2. masked exp (numerically shifted by the row max);
   3. inverse-CDF draw with a single precomputed uniform per row. Mosaic has
      no cumsum lowering, so the prefix sums are built from MXU matmuls:
      strict-lower-triangular ones over the 128-wide block sums for the
      exclusive block prefix, lower-triangular ones within each block.
+
+The kernel takes logits in their COMPUTE dtype (bf16 model heads feed it
+directly) and applies 1/temperature after an in-kernel f32 upcast — the
+values match `logits.astype(f32) / T` bit-for-bit, and the bf16 path halves
+the HBM traffic (no separate f32 cast/divide materialization between the
+head gemm and the kernel).
 
 Inverse-CDF with one uniform is distribution-identical to Gumbel/categorical;
 the kept set equals exact top-k-with-ties (see
@@ -44,6 +55,12 @@ LANE = 128
 # is a full VPU sweep of the logits tile).
 BISECT_RANGE = 44.0
 BISECT_ITERS = 26  # 44 / 2^26 ~ 6.6e-7: below f32 ulp of typical logits
+# measured on v5e at [10240, 8192]: the early-exit while_loop (converged
+# rows freeze; loop ends when all rows hit an exact count == k) times the
+# SAME as the fixed 26-iteration fori loop — the per-iteration scalar-cond
+# sync costs what the skipped sweeps save — so the simple loop is default
+import os as _os
+_EARLY_EXIT = _os.environ.get('HQT_SAMPLE_EARLY_EXIT', '0') == '1'
 
 
 def _tril_ones(n: int, strict: bool) -> jax.Array:
@@ -52,61 +69,109 @@ def _tril_ones(n: int, strict: bool) -> jax.Array:
     return jnp.where(r > c if strict else r >= c, 1.0, 0.0)
 
 
-def _sample_kernel(k_ref, logits_ref, u_ref, out_ref):
-    x = logits_ref[:].astype(jnp.float32)           # [TB, V]
+def _dot_f32(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32-accurate matmul in 2 MXU passes (vs 6 for Precision.HIGHEST):
+    split the data operand into bf16 high + low halves; `b` here is always
+    a 0/1 matrix, exactly representable in bf16, so the only error is the
+    low half's bf16 rounding (~2^-16 relative — f32 class)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+    return (jnp.dot(a_hi, bb, preferred_element_type=jnp.float32) +
+            jnp.dot(a_lo, bb, preferred_element_type=jnp.float32))
+
+
+def _sample_kernel(k_ref, temp_ref, logits_ref, u_ref, out_ref):
+    x = logits_ref[:].astype(jnp.float32) / temp_ref[0]   # [TB, V]
     k = k_ref[0]
     tb, v = x.shape
     g = v // LANE
 
+    def count_ge(mid):
+        return jnp.sum((x >= mid).astype(jnp.float32), axis=-1,
+                       keepdims=True)
+
     row_max = jnp.max(x, axis=-1, keepdims=True)
 
-    def threshold(x):
-        # bisect within [row_max - BISECT_RANGE, row_max]: mass below that
-        # window rounds to a zero f32 CDF increment (see BISECT_RANGE note),
-        # so thresholds down there cannot change the sampling distribution —
-        # and padding sentinels stay out of the search range
-        lo = row_max - BISECT_RANGE
-        hi = row_max + 1e-6
+    def threshold():
+        # bisect within [row_max - BISECT_RANGE, row_max] (see BISECT_RANGE
+        # note; padding sentinels stay out of the search range). Invariant:
+        # count(>= lo) >= k > count(>= hi). A row is DONE when a mid with
+        # count == k is found (exact threshold, no ties) — its bracket is
+        # frozen; with ties at v_k the count jumps over k and the row runs
+        # to the full tolerance, reproducing top-k-with-ties.
+        kf = k.astype(jnp.float32)
 
-        def body(_, lohi):
-            lo, hi = lohi
+        def cond(state):
+            i, all_done, lo, hi, done = state
+            return jnp.logical_and(i < BISECT_ITERS, all_done < 0.5)
+
+        def body(state):
+            i, _, lo, hi, done = state
             mid = 0.5 * (lo + hi)
-            ge = jnp.sum((x >= mid).astype(jnp.float32), axis=-1,
-                         keepdims=True)
-            take = ge >= k
-            return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+            ge = count_ge(mid)
+            live = done < 0.5
+            take = jnp.logical_and(ge >= kf, live)
+            drop = jnp.logical_and(ge < kf, live)
+            lo = jnp.where(take, mid, lo)
+            hi = jnp.where(drop, mid, hi)
+            done = jnp.where(jnp.logical_and(take, ge == kf),
+                             jnp.ones_like(done), done)
+            return i + 1, jnp.min(done), lo, hi, done
 
-        lo, hi = jax.lax.fori_loop(0, BISECT_ITERS, body, (lo, hi))
+        state = (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, jnp.float32),
+                 row_max - BISECT_RANGE, row_max + 1e-6,
+                 jnp.zeros((tb, 1), jnp.float32))
+        if _EARLY_EXIT:
+            _, _, lo, _, _ = jax.lax.while_loop(cond, body, state)
+        else:
+            def fbody(_, st):
+                return body(st)
+            _, _, lo, _, _ = jax.lax.fori_loop(0, BISECT_ITERS, fbody, state)
         return lo
 
-    thr = jax.lax.cond(k < v, lambda: threshold(x),
+    thr = jax.lax.cond(k < v, threshold,
                        lambda: jnp.min(x, axis=-1, keepdims=True))
     p = jnp.where(x >= thr, jnp.exp(x - row_max), 0.0)  # unnormalized mass
 
     # two-level prefix sums on the MXU (no cumsum primitive in Mosaic);
-    # everything stays 2-D — Mosaic's vector layouts dislike 1-D/3-D here
+    # everything stays 2-D — Mosaic's vector layouts dislike 1-D/3-D here.
+    # _dot_f32 keeps the increments f32-accurate: the MXU's default f32
+    # path rounds operands to bf16 (~2^-9 relative), visibly perturbing
+    # the categorical probabilities
     pb = p.reshape(tb * g, LANE)
     # intra[i, w] = sum_{v <= w} pb[i, v]
-    intra = jnp.dot(pb, _tril_ones(LANE, strict=False).T,
-                    preferred_element_type=jnp.float32)
+    intra = _dot_f32(pb, _tril_ones(LANE, strict=False).T)
     bs = intra[:, LANE - 1:LANE].reshape(tb, g)          # block sums [TB, G]
-    excl = jnp.dot(bs, _tril_ones(g, strict=True).T,
-                   preferred_element_type=jnp.float32)   # exclusive prefix
+    excl = _dot_f32(bs, _tril_ones(g, strict=True).T)    # exclusive prefix
     # broadcast the per-block exclusive prefix across its lanes via a
     # constant expansion matrix E[gi, j] = (j // LANE == gi)
     blk_of_col = jax.lax.broadcasted_iota(jnp.int32, (g, v), 1) // LANE
     blk_row = jax.lax.broadcasted_iota(jnp.int32, (g, v), 0)
     expand = jnp.where(blk_row == blk_of_col, 1.0, 0.0)
-    cdf = intra.reshape(tb, v) + jnp.dot(
-        excl, expand, preferred_element_type=jnp.float32)  # [TB, V]
+    cdf = intra.reshape(tb, v) + _dot_f32(excl, expand)   # [TB, V]
 
-    total = jnp.sum(p, axis=1, keepdims=True)
+    # total mass = last CDF entry (the same sum in the two-level order)
+    total = cdf[:, v - 1:v]
     # clamp the draw strictly positive: u == 0.0 (p ~ 2^-23 per row) would
-    # otherwise select index 0 even when token 0 was filtered out (cdf == 0
-    # for every zero-mass prefix token)
+    # otherwise land before the first positive-mass token
     draw = jnp.maximum(u_ref[:].astype(jnp.float32) * total, 1e-30)  # [TB, 1]
-    idx = jnp.sum((cdf < draw).astype(jnp.int32), axis=1, keepdims=True)
-    out_ref[:] = jnp.minimum(idx, v - 1)
+    # crossing index: first j with cdf[j] >= draw (count formulation —
+    # tokens whose tiny mass rounds to a zero f32 cdf increment correctly
+    # never win, matching the single-accumulator inverse-CDF), then snap
+    # DOWN to the nearest positive-mass token: f32 rounding can make the
+    # two-level cdf locally non-monotone at a block boundary (observed
+    # on-chip), letting the count land on a FILTERED token in the
+    # rounding-sliver of the draw space — kept-set membership must be
+    # structural, not a rounding property.
+    idx0 = jnp.sum((cdf < draw).astype(jnp.int32), axis=-1,
+                   keepdims=True)                           # [TB, 1]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (tb, v), 1)
+    valid = jnp.logical_and(p > 0.0, iota_v <= idx0)
+    # every row has mass at its argmax and cdf == 0 before the first mass
+    # token, so idx0 >= first-valid and the max below is well-defined
+    out_ref[:] = jnp.max(jnp.where(valid, iota_v, 0), axis=-1,
+                         keepdims=True)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -115,16 +180,17 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def _sample_topk_2d(logits: jax.Array, u: jax.Array, k: jax.Array,
+                    temperature: jax.Array,
                     interpret: bool = False) -> jax.Array:
     n, v = logits.shape
     n_pad = _round_up(max(n, 8), TILE_B)
     v_pad = _round_up(v, LANE)
     if (n_pad, v_pad) == (n, v):
-        x = logits.astype(jnp.float32)
+        x = logits
         uu = u.reshape(n, 1).astype(jnp.float32)
     else:
-        x = jnp.full((n_pad, v_pad), -1e10, jnp.float32).at[:n, :v].set(
-            logits.astype(jnp.float32))
+        x = jnp.full((n_pad, v_pad), -1e10, logits.dtype).at[:n, :v].set(
+            logits)
         # guarantee padded rows carry one positive-mass entry
         x = x.at[n:, 0].set(0.0)
         uu = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(u)
@@ -134,6 +200,7 @@ def _sample_topk_2d(logits: jax.Array, u: jax.Array, k: jax.Array,
         grid=(n_pad // TILE_B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_B, v_pad), lambda i: (i, 0)),
             pl.BlockSpec((TILE_B, 1), lambda i: (i, 0)),
         ],
@@ -142,8 +209,11 @@ def _sample_topk_2d(logits: jax.Array, u: jax.Array, k: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=n_pad * v_pad * (BISECT_ITERS + 2 * LANE),
             bytes_accessed=n_pad * v_pad * 4, transcendentals=n_pad * v_pad),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray([k], jnp.int32), x, uu)
+    )(jnp.asarray([k], jnp.int32), jnp.asarray([temperature], jnp.float32),
+      x, uu)
     return out[:n, 0]
 
 
@@ -151,11 +221,13 @@ def sample_topk_pallas(key: jax.Array, logits: jax.Array,
                        temperature: float = 1.0,
                        top_k=None, interpret: bool = False) -> jax.Array:
     """Drop-in fused replacement for
-    `topk_topp.sample_from_logits(top_p=None)`. logits: [..., V] -> [...]."""
+    `topk_topp.sample_from_logits(top_p=None)`. logits: [..., V] (any float
+    dtype — fed to the kernel unconverted) -> [...]."""
     shape = logits.shape[:-1]
     v = logits.shape[-1]
-    flat = logits.reshape(-1, v).astype(jnp.float32) / temperature
+    flat = logits.reshape(-1, v)
     u = jax.random.uniform(key, (flat.shape[0],), jnp.float32)
     k = v if top_k is None else min(int(top_k), v)
-    codes = _sample_topk_2d(flat, u, jnp.int32(k), interpret=interpret)
+    codes = _sample_topk_2d(flat, u, jnp.int32(k),
+                            jnp.float32(temperature), interpret=interpret)
     return codes.reshape(shape)
