@@ -86,25 +86,103 @@ def main():
     samples_per_sec = batch / dt
 
     # reference-protocol comparison point (measure_throughput/__main__.py:
-    # batch 50, AR + decode counted): one e2e call at bs=50. Best-effort —
-    # never allowed to cost the primary metric (extra compile, OOM, etc.)
-    ref_ms_per_sample = None
+    # 140-180: batch 50, 1000 samples per timed loop, AR + decode counted).
+    # The reference's CUDA harness queues its 20 bs-50 generations
+    # asynchronously and syncs once per loop; the XLA equivalent is ONE
+    # program scanning 20 sequential bs-50 generations, which also
+    # amortizes this tunnel's ~48 ms fixed dispatch cost to 0.05 ms/sample.
+    # 5 timed loops, median reported with spread. Best-effort — never
+    # allowed to cost the primary metric (extra compile, OOM, etc.)
+    ref_ms_per_sample = ref_spread = None
     if os.environ.get('BENCH_SKIP_BS50') != '1':
         try:
-            labels50 = jnp.arange(50, dtype=jnp.int32) % 1000
+            n_b, bs50 = 20, 50
+            sampler50 = model.make_pixel_sampler(params=sp,
+                                                 cache_dtype=jnp.bfloat16)
+
+            @jax.jit
+            def protocol_loop(variables, key, labels):   # labels [n_b, bs50]
+                def body(key, lab):
+                    key, k = jax.random.split(key)
+                    pixels, _ = sampler50(variables, k, lab)
+                    # full-pixel reduction: keeps every decode op live
+                    # without stacking n_b * bs50 images in HBM
+                    return key, jnp.sum(pixels.astype(jnp.float32))
+                key, sums = jax.lax.scan(body, key, labels)
+                return sums
+
+            labels50 = (jnp.arange(n_b * bs50, dtype=jnp.int32)
+                        % 1000).reshape(n_b, bs50)
             key, k = jax.random.split(key)
-            c50, p50 = sampler(variables, k, labels50, None)
-            force(p50)
+            s = protocol_loop(variables, k, labels50)
+            s.block_until_ready()
+            float(jnp.sum(s))                            # force via fetch
             t50 = []
-            for _ in range(2):
+            for _ in range(5):
                 key, k = jax.random.split(key)
                 t0 = time.perf_counter()
-                c50, p50 = sampler(variables, k, labels50, c50)
-                force(p50)
+                s = protocol_loop(variables, k, labels50)
+                s.block_until_ready()
+                float(jnp.sum(s))
                 t50.append(time.perf_counter() - t0)
-            ref_ms_per_sample = min(t50) / 50 * 1000
+            t50.sort()
+            med = t50[len(t50) // 2]
+            ref_ms_per_sample = med / (n_b * bs50) * 1000
+            ref_spread = (t50[-1] - t50[0]) / med
         except Exception as e:                      # pragma: no cover
             print(f'bs50 protocol section skipped: {e!r}', file=sys.stderr)
+
+    # per-phase decomposition + effective-TFLOP/s roofline: times the AR
+    # loop alone (one extra compile); decode = e2e - ar. FLOP counts are
+    # the gemm inventory of the flagship shapes (docs/ROOFLINE in README).
+    phases = None
+    if os.environ.get('BENCH_SKIP_PHASES') != '1':
+        try:
+            from hqtransformer_tpu.sampling.engine import \
+                make_hierarchical_sampler
+            ar = make_hierarchical_sampler(model.stage2, params=sp,
+                                           cache_dtype=jnp.bfloat16)
+            v2 = variables['stage2']
+            c = ar(v2, key, labels)
+            jax.block_until_ready(c)
+            float(jnp.sum(c[0][:1, :1].astype(jnp.float32)))
+            t_ar = []
+            for _ in range(max(2, n_loops)):
+                key, k = jax.random.split(key)
+                t0 = time.perf_counter()
+                c = ar(v2, k, labels)
+                jax.block_until_ready(c)
+                float(jnp.sum(c[0][:1, :1].astype(jnp.float32)))
+                t_ar.append(time.perf_counter() - t0)
+            ar_ms = min(t_ar) / batch * 1000
+            e2e_ms = dt / batch * 1000
+            from hqtransformer_tpu.config import parse_embedding_type
+            hp = model.stage2.hparams
+            D, L = hp.embed_dim, hp.n_layers
+            Ld = model.stage2.hpd.n_layers
+            r = model.stage2.ratio_bot2top
+            steps = model.top_res * model.top_res   # spatial AR steps
+            emb = parse_embedding_type(hp.embedding_type)
+            le = emb.n_layers_emb if emb.kind in ('transformer',
+                                                  'bidirectional') else 0
+            vt, vb = model.stage2.vocab_size_top, model.stage2.vocab_size_bot
+            # per-sample gemm MACs x2: cell-embedding transformer ((1+r)
+            # tokens x 12D^2/layer), spatial 12D^2/layer/step, depth stack
+            # first (11D^2) + second (r tokens x 12D^2) per layer, heads
+            ar_gflop = steps * (le * (1 + r) * 12 * D * D +
+                                L * 12 * D * D +
+                                Ld * (11 * D * D + r * 12 * D * D) +
+                                D * vt + r * D * vb) * 2 / 1e9
+            dec_gflop = 175.0  # conv decode inventory, README
+            phases = {
+                'ar_ms_per_sample': round(ar_ms, 4),
+                'decode_ms_per_sample': round(e2e_ms - ar_ms, 4),
+                'ar_eff_tflops': round(ar_gflop / ar_ms, 1),
+                'decode_eff_tflops': round(dec_gflop / (e2e_ms - ar_ms), 1),
+                'chip_bf16_tflops_measured_ceiling': 142.0,
+            }
+        except Exception as e:                      # pragma: no cover
+            print(f'phase section skipped: {e!r}', file=sys.stderr)
 
     out = {
         'metric': 'imagenet256_e2e_samples_per_sec_per_chip',
@@ -115,6 +193,9 @@ def main():
     if ref_ms_per_sample is not None:
         out['ms_per_sample_bs50_reference_protocol'] = round(
             ref_ms_per_sample, 3)
+        out['bs50_spread'] = round(ref_spread, 4)
+    if phases is not None:
+        out['phases'] = phases
     print(json.dumps(out))
 
 

@@ -280,6 +280,7 @@ class _PackedStepMixin:
     def step_packed(self, x: jax.Array, k_caches: jax.Array,
                     v_caches: jax.Array, layer_idx: int, pos
                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        import os
         from ...ops.pallas_attention import (decode_attention_step,
                                              decode_attention_step_xla)
         B, T_new, C = x.shape
@@ -290,6 +291,13 @@ class _PackedStepMixin:
             y, k_caches, v_caches = decode_attention_step(
                 q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
                 self.n_heads)
+        elif os.environ.get('HQT_PACKED_INTERPRET') == '1':
+            # interpret-mode kernel on CPU: reproduces the kernel's exact
+            # dtype-rounding semantics (bf16 q*k products) for the
+            # divergence-measurement tests
+            y, k_caches, v_caches = decode_attention_step(
+                q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
+                self.n_heads, interpret=True)
         else:
             y, k_caches, v_caches = decode_attention_step_xla(
                 q, k_new, v_new, k_caches, v_caches, layer_idx, pos,

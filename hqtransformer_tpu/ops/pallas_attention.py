@@ -40,7 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e10
-ROW_CHUNK = 8  # 16 measured no better (1.249 vs 1.237 ms/sample)
+# cache-fetch granularity in time rows: bigger chunks mean fewer DMA issues
+# (scalar-core issue cost dominates at large batch) but coarser prefix-skip
+import os as _os
+ROW_CHUNK = int(_os.environ.get('HQT_ATTN_ROW_CHUNK', '8'))
 
 
 def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,

@@ -98,7 +98,9 @@ def sample_from_logits(key: jax.Array,
     auto-detection (fused iff top_p is None and the backend is not CPU).
     """
     if use_fused is None:
-        use_fused = top_p is None and jax.default_backend() != 'cpu'
+        import os
+        use_fused = (top_p is None and jax.default_backend() != 'cpu'
+                     and os.environ.get('HQT_DISABLE_FUSED_SAMPLE') != '1')
     if use_fused and top_p is None:
         from .pallas_sample import sample_topk_pallas
         return sample_topk_pallas(key, logits, temperature=temperature,

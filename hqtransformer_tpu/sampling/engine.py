@@ -196,10 +196,12 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
     Equivalent of `sampling_ihqgpt` (`hqvae/utils/sampling.py:164-237`).
 
     `n_segments` splits the scan into segments with growing static cache
-    sizes: every step's attention reads the whole (static-shape) cache, so
-    early steps over a full-length cache waste HBM bandwidth — two segments
-    cut average cache traffic ~25% for free (cache copy between segments is
-    one small slice write).
+    sizes. On the einsum path every step's attention reads the whole
+    (static-shape) cache, so segments cut HBM traffic; on the packed
+    Pallas path the kernel already DMA-skips the invalid tail, but its
+    score/AV COMPUTE covers all T rows (static shapes) — segments shrink
+    that too (measured: attention-only 10.4 -> ~7 ms/step at B=2048 with 4
+    segments).
     """
     depth_fn = _DEPTH_SAMPLERS[model.depth_mode]
     hp = model.hparams
@@ -223,16 +225,25 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
     def sample(variables, key, labels, given_top_codes=None):
         B = labels.shape[0]
         packed = _use_packed_cache(attention, hp.embed_dim, B)
-        seg_bounds = [(1, max_seq_len)] if packed else bounds
+        seg_bounds = bounds
         sos = model.apply(variables, B, labels,
                           method=HierarchicalGPT.sos_tokens)
         cdtype = cache_dtype or sos.dtype
         t0_max = sos_len + seg_bounds[0][1] - 1
+
+        def packed_t(t):
+            # round up to the kernel's DMA row chunk
+            from ..ops.pallas_attention import ROW_CHUNK
+            return -(-t // ROW_CHUNK) * ROW_CHUNK
+
         if packed:
-            # [L, T, B, D]; the kernel reads only the valid prefix, so no
-            # segment growing is needed; T rounded to the DMA row chunk
-            t_pad = -(-t0_max // 8) * 8
-            kc = jnp.zeros((n_layers, t_pad, B, hp.embed_dim), cdtype)
+            # [L, T, B, D]. The kernel DMA-fetches only the valid prefix,
+            # but its VPU/MXU score+AV work covers all T rows (static
+            # shapes) — so segments pay off twice here: smaller T shrinks
+            # both the compute and the scratch. The segment-growth copy is
+            # one slice write (~0.01 ms/sample at B=2048).
+            kc = jnp.zeros((n_layers, packed_t(t0_max), B, hp.embed_dim),
+                           cdtype)
         else:
             kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t0_max,
                                           hd), cdtype)
@@ -268,13 +279,25 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
                 # grow the cache to this segment's static size
                 kc, vc, pt, pb, key = carry
                 seg_t = sos_len + hi - 1
-                kc_big = jnp.zeros(kv_cache_shape(
-                    n_layers, B, n_heads, seg_t, hd), cdtype)
-                vc_big = jnp.zeros_like(kc_big)
-                kc_big = jax.lax.dynamic_update_slice(
-                    kc_big, kc, (0, 0, 0, 0, 0))
-                vc_big = jax.lax.dynamic_update_slice(
-                    vc_big, vc, (0, 0, 0, 0, 0))
+                if packed and packed_t(seg_t) == kc.shape[1]:
+                    # ROW_CHUNK rounding already covers this segment
+                    kc_big, vc_big = kc, vc
+                elif packed:
+                    kc_big = jnp.zeros((n_layers, packed_t(seg_t), B,
+                                        hp.embed_dim), cdtype)
+                    vc_big = jnp.zeros_like(kc_big)
+                    kc_big = jax.lax.dynamic_update_slice(
+                        kc_big, kc, (0, 0, 0, 0))
+                    vc_big = jax.lax.dynamic_update_slice(
+                        vc_big, vc, (0, 0, 0, 0))
+                else:
+                    kc_big = jnp.zeros(kv_cache_shape(
+                        n_layers, B, n_heads, seg_t, hd), cdtype)
+                    vc_big = jnp.zeros_like(kc_big)
+                    kc_big = jax.lax.dynamic_update_slice(
+                        kc_big, kc, (0, 0, 0, 0, 0))
+                    vc_big = jax.lax.dynamic_update_slice(
+                        vc_big, vc, (0, 0, 0, 0, 0))
                 carry = (kc_big, vc_big, pt, pb, key)
             carry, (tops, bots) = jax.lax.scan(body, carry,
                                                jnp.arange(lo, hi))
@@ -310,8 +333,9 @@ def make_igpt_sampler(model, max_seq_len: int = 256,
         t_max = max_seq_len
         cdtype = cache_dtype or sos.dtype
         if _use_packed_cache(attention, hp.embed_dim, B):
-            kc = jnp.zeros((n_layers, -(-t_max // 8) * 8, B, hp.embed_dim),
-                           cdtype)
+            from ..ops.pallas_attention import ROW_CHUNK
+            kc = jnp.zeros((n_layers, -(-t_max // ROW_CHUNK) * ROW_CHUNK,
+                            B, hp.embed_dim), cdtype)
         else:
             kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
                            cdtype)
@@ -360,8 +384,9 @@ def make_txt2img_sampler(model, max_seq_len: int = 256,
         t_max = N + max_seq_len
         cdtype = cache_dtype or x.dtype
         if _use_packed_cache(attention, hp.embed_dim, B):
-            kc = jnp.zeros((n_layers, -(-t_max // 8) * 8, B, hp.embed_dim),
-                           cdtype)
+            from ..ops.pallas_attention import ROW_CHUNK
+            kc = jnp.zeros((n_layers, -(-t_max // ROW_CHUNK) * ROW_CHUNK,
+                            B, hp.embed_dim), cdtype)
         else:
             kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
                            cdtype)
@@ -435,7 +460,8 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
         t_max = sos_len + max_seq_len - 1
         cdtype = cache_dtype or sos.dtype
         if _use_packed_cache(attention, hp.embed_dim, B):
-            t_pad = -(-t_max // 8) * 8
+            from ..ops.pallas_attention import ROW_CHUNK
+            t_pad = -(-t_max // ROW_CHUNK) * ROW_CHUNK
             kc = jnp.zeros((n_layers, t_pad, B, hp.embed_dim), cdtype)
         else:
             kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),

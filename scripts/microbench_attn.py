@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, NH, HD, T, L = int(os.environ.get('ATTN_B', '512')), 24, 64, 64, 12
+B, NH, HD, T, L = (int(os.environ.get('ATTN_B', '512')), 24, 64,
+                   int(os.environ.get('ATTN_T', '64')), 12)
 D = NH * HD
-STEPS = 63
+STEPS = T - 1
 DT = jnp.bfloat16
 
 
