@@ -31,12 +31,67 @@ def groupnorm(name: str, dtype=jnp.float32) -> nn.GroupNorm:
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, name=name)
 
 
+def _int8_conv_active(x) -> bool:
+    """A8W8 conv path gate: opt-in via HQT_INT8_DECODE=1, engaged only for
+    bf16 activations (the serving/decode dtype — training and the f32
+    parity paths never see it)."""
+    import os
+    return (os.environ.get('HQT_INT8_DECODE') == '1'
+            and x.dtype == jnp.bfloat16 and x.ndim == 4)
+
+
+class QuantizableConv(nn.Conv):
+    """nn.Conv with an optional A8W8 int8 path (same params/checkpoints).
+
+    Quantization: activations per-tensor dynamic symmetric int8
+    (scale = max|x|/127 computed on the fly), weights per-output-channel
+    symmetric int8; the conv accumulates int32 on the MXU and dequantizes
+    into the activation dtype. Measured on v5e at decoder shapes
+    ([128,256,256,128] 3x3): 1.38x the bf16 conv. The reference has no
+    analogue (its decode runs fp16 autocast) — this is an opt-in serving
+    mode, off by default; bench reports it as a separate metric with the
+    PSNR-vs-bf16 figure from scripts/measure_int8_decode.py.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        if not _int8_conv_active(x):
+            return super().__call__(x)
+        # materialize the standard nn.Conv params (identical names/shapes)
+        # with a 1x1-spatial dummy call; XLA discards the tiny conv
+        _ = super().__call__(x[:1, :1, :1, :])
+        kernel = self.variables['params']['kernel']   # [Kh, Kw, I, O]
+        bias = self.variables['params'].get('bias')
+
+        xf = x.astype(jnp.float32)
+        x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        kf = kernel.astype(jnp.float32)
+        w_scale = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)),
+                              1e-8) / 127.0            # [O]
+        wq = jnp.clip(jnp.round(kf / w_scale), -127, 127).astype(jnp.int8)
+
+        pad = self.padding
+        if pad == 'VALID':
+            pad = [(0, 0), (0, 0)]
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        yq = jax.lax.conv_general_dilated(
+            xq, wq, self.strides, pad, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        y = yq.astype(jnp.float32) * (x_scale * w_scale)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
 def conv(features: int, kernel: int, stride: int = 1, padding=None,
          name: Optional[str] = None, dtype=jnp.float32) -> nn.Conv:
     if padding is None:
         padding = [(kernel // 2, kernel // 2)] * 2 if kernel > 1 else 'VALID'
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=padding, name=name, dtype=dtype)
+    return QuantizableConv(features, (kernel, kernel),
+                           strides=(stride, stride),
+                           padding=padding, name=name, dtype=dtype)
 
 
 class Upsample(nn.Module):

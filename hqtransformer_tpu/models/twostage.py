@@ -300,9 +300,14 @@ class TwoStageModel:
                                       top_k=(None, None, None),
                                       top_p=(None, None, None),
                                       temperature=(1.0, 1.0, 1.0),
-                                      cache_dtype=None):
+                                      cache_dtype=None,
+                                      decode_chunk: int = 128):
         """Jitted 3-level end-to-end sampler: labels -> pixels in [0, 1]
-        (the `sampling_level3` path, `sampling_hqmodel.py:124-153`)."""
+        (the `sampling_level3` path, `sampling_hqmodel.py:124-153`).
+
+        The conv decode runs in `decode_chunk`-sample chunks like the
+        2-level sampler: unchunked, the decoder's 256^2 x 128-ch
+        activations are 16 MB/sample (8 GB at batch 512 — OOMs HBM)."""
         from ..sampling.engine import make_multilevel_sampler
         from .stage2.multilevel import (MultiLevelHQTransformer,
                                         cells_to_level)
@@ -313,7 +318,13 @@ class TwoStageModel:
                                           cache_dtype=cache_dtype)
         top_res = int(math.isqrt(Ttop))
 
+        def decode(variables, codes):
+            px = self.stage1.apply(variables['stage1'], list(codes),
+                                   method=type(self.stage1).decode_code)
+            return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
+
         def sample_pixels(variables, key, labels):
+            B = labels.shape[0]
             tops, mids, bots = sampler(variables['stage2'], key, labels)
             codes = [
                 tops.reshape(-1, top_res, top_res),
@@ -321,8 +332,18 @@ class TwoStageModel:
                     -1, top_res * 2, top_res * 2),
                 cells_to_level(bots, top_res, 4).reshape(
                     -1, top_res * 4, top_res * 4)]
-            pixels = self.stage1.apply(variables['stage1'], codes,
-                                       method=type(self.stage1).decode_code)
-            return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0), (tops, mids, bots)
+            chunk = min(decode_chunk, B)
+            if B > chunk:
+                n = -(-B // chunk)
+                pad = n * chunk - B
+                padded = [jnp.pad(c, ((0, pad), (0, 0), (0, 0)))
+                          for c in codes]
+                chunks = [c.reshape(n, chunk, *c.shape[1:]) for c in padded]
+                pixels = jax.lax.map(lambda cs: decode(variables, cs),
+                                     tuple(chunks))
+                pixels = pixels.reshape(n * chunk, *pixels.shape[2:])[:B]
+            else:
+                pixels = decode(variables, codes)
+            return pixels, (tops, mids, bots)
 
         return jax.jit(sample_pixels)
