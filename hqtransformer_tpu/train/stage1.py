@@ -64,11 +64,14 @@ def make_discriminator(hd: Stage1HparamsDisc, dtype=jnp.float32):
 
 
 def _conv_out(h_pre, kernel, bias):
-    """Re-apply the decoder's final 3x3 SAME conv (matches nn.Conv)."""
+    """Re-apply the decoder's final 3x3 SAME conv (matches nn.Conv; under
+    bf16 training h_pre is bf16 and the f32 params are cast like flax's
+    dtype machinery would)."""
     y = jax.lax.conv_general_dilated(
-        h_pre, kernel, window_strides=(1, 1), padding=[(1, 1)] * 2,
+        h_pre, kernel.astype(h_pre.dtype), window_strides=(1, 1),
+        padding=[(1, 1)] * 2,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    return y + bias
+    return y + bias.astype(h_pre.dtype)
 
 
 def make_stage1_train_step(generator, discriminator,
@@ -136,6 +139,10 @@ def make_stage1_train_step(generator, discriminator,
         """nll (rec + perceptual) and generator-adversarial loss from decoded
         images (`discriminator.py:87-140`). decs: [dec_tb] or
         [dec_tb, dec_t]."""
+        # losses always reduce in f32 (bf16 modules emit bf16 images; the
+        # sub-modules re-cast their own inputs, so this only pins the loss
+        # arithmetic, mirroring the reference's autocast-exempt loss scalars)
+        decs = [d.astype(jnp.float32) for d in decs]
         dec_tb = decs[0]
         if len(decs) > 1:
             dec_t = decs[1]
@@ -147,15 +154,17 @@ def make_stage1_train_step(generator, discriminator,
         else:
             rec = jnp.mean(jnp.square(x - dec_tb))
         if lpips is not None and perceptual_weight > 0:
-            p_loss = lpips.apply(lpips_vars, x, dec_tb)
+            p_loss = lpips.apply(lpips_vars, x, dec_tb).astype(jnp.float32)
             if len(decs) > 1 and hd.use_perceptual_top:
-                p_loss = 0.5 * (p_loss + lpips.apply(lpips_vars, x, decs[1]))
+                p_loss = 0.5 * (p_loss + lpips.apply(
+                    lpips_vars, x, decs[1]).astype(jnp.float32))
         else:
             p_loss = jnp.zeros(())
         nll = rec + perceptual_weight * p_loss
 
         def g_of(d):
-            return -jnp.mean(discriminator.apply({'params': disc_params}, d))
+            logits = discriminator.apply({'params': disc_params}, d)
+            return -jnp.mean(logits.astype(jnp.float32))
         if len(decs) > 1 and hd.use_adversarial_top:
             g_loss = 0.5 * (g_of(decs[1]) + g_of(dec_tb))
         else:
@@ -194,9 +203,11 @@ def make_stage1_train_step(generator, discriminator,
         return loss, (new_ema, metrics, jax.lax.stop_gradient(decs[0]))
 
     def disc_loss_fn(disc_params, fake, x, step):
-        logits_real = discriminator.apply({'params': disc_params}, x)
-        logits_fake = discriminator.apply({'params': disc_params},
-                                          jax.lax.stop_gradient(fake))
+        logits_real = discriminator.apply({'params': disc_params},
+                                          x).astype(jnp.float32)
+        logits_fake = discriminator.apply(
+            {'params': disc_params},
+            jax.lax.stop_gradient(fake)).astype(jnp.float32)
         factor = adopt_weight(disc_factor, step, hd.disc_start)
         d_loss = factor * d_loss_fn(logits_real, logits_fake)
         return d_loss, {'disc_loss': d_loss,

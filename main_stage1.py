@@ -64,6 +64,10 @@ def parse_args():
     ap.add_argument('--fast-gan-step', action='store_true',
                     help='reuse the generator-phase recon for the disc step '
                          '(halves cost; reference runs two forwards)')
+    ap.add_argument('--bf16', action='store_true',
+                    help='bf16 activations with f32 params, losses and '
+                         'quantizer statistics in f32 (the TPU analogue of '
+                         'the reference\'s fp16 autocast)')
     return ap.parse_args()
 
 
@@ -100,9 +104,10 @@ def main():
 
     # ------------------------------------------------------------ model
     mesh = make_mesh(dp=n_dev, tp=1)
-    generator = build_generator(cfg.stage1, ema_axis_name=None)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    generator = build_generator(cfg.stage1, dtype=dtype, ema_axis_name=None)
     hd = cfg.stage1.hparams_disc
-    discriminator = make_discriminator(hd)
+    discriminator = make_discriminator(hd, dtype=dtype)
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2, key = jax.random.split(key, 3)
@@ -115,7 +120,7 @@ def main():
     perceptual_weight = 1.0
     if args.lpips_vgg:
         import torch
-        lpips = LPIPS()
+        lpips = LPIPS(dtype=dtype)
         lpips_vars = lpips.init(jax.random.PRNGKey(0), x_init, x_init)
         lpips_vars = load_torch_vgg16(
             lpips_vars, torch.load(args.lpips_vgg, map_location='cpu'))

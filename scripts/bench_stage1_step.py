@@ -36,12 +36,16 @@ def main():
     ap.add_argument('--lpips', action='store_true',
                     help='include LPIPS (random weights; cost is identical)')
     ap.add_argument('--fast', action='store_true', help='--fast-gan-step')
+    ap.add_argument('--bf16', action='store_true',
+                    help='bf16 activations / f32 params+losses '
+                         '(main_stage1.py --bf16)')
     args = ap.parse_args()
 
     cfg = build_stage1_config(args.config)
     res = cfg.dataset.image_resolution
-    generator = build_generator(cfg.stage1, ema_axis_name=None)
-    discriminator = make_discriminator(cfg.stage1.hparams_disc)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    generator = build_generator(cfg.stage1, dtype=dtype, ema_axis_name=None)
+    discriminator = make_discriminator(cfg.stage1.hparams_disc, dtype=dtype)
 
     key = jax.random.PRNGKey(0)
     k1, k2, key = jax.random.split(key, 3)
@@ -51,7 +55,7 @@ def main():
 
     lpips = lpips_vars = None
     if args.lpips:
-        lpips = LPIPS()
+        lpips = LPIPS(dtype=dtype)
         lpips_vars = lpips.init(jax.random.PRNGKey(3), x_init, x_init)
 
     schedule = build_schedule_from_config(cfg.optimizer, 100, 10000,
@@ -87,7 +91,7 @@ def main():
     dt = (time.perf_counter() - t0) / args.steps
     print(f'stage-1 step: {dt * 1000:.1f} ms  '
           f'({args.batch / dt:.1f} img/s/chip)  '
-          f'lpips={args.lpips} fast={args.fast} '
+          f'lpips={args.lpips} fast={args.fast} bf16={args.bf16} '
           f'pallas_vq={os.environ.get("HQT_DISABLE_PALLAS_VQ") != "1"}')
 
 

@@ -51,10 +51,12 @@ def test_train_resume_eval_stage1(tmp_path, image_root):
     assert steps, list(ckpt.iterdir())
 
     # --resume continues from the saved state (the reference parses the
-    # flag but ignores it, main_stage1.py:37)
+    # flag but ignores it, main_stage1.py:37); --bf16 on the resumed run
+    # also covers the mixed-precision CLI path (f32 checkpoints are
+    # dtype-compatible: params are f32 in both modes)
     _run(['main_stage1.py', '-c', TINY1, '-r', str(tmp_path / 'r2'),
           '--data-root', str(image_root), '--max-steps', '5',
-          '--resume', str(ckpt)])
+          '--resume', str(ckpt), '--bf16'])
 
     p = _run(['eval_stage1.py', '-c', TINY1, '-m', str(ckpt),
               '--data-root', str(image_root), '--batch-size', '4',

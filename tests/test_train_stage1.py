@@ -19,17 +19,17 @@ from hqtransformer_tpu.train.stage1 import (Stage1State, hinge_d_loss,
                                             make_stage1_train_step)
 
 
-def tiny_setup(norm_type='gn', bottom_start=None):
+def tiny_setup(norm_type='gn', bottom_start=None, dtype=jnp.float32):
     hp = Stage1Hparams(z_channels=64, resolution=32, ch=32, ch_mult=[1, 2],
                        num_res_blocks=1, attn_resolutions=[8],
                        use_init_downsample=True)
     aux = VQGAN2Hparams(upsample='pixelshuffle', shared_codebook=False,
                         decoding_type='concat')
     gen = SimRQGAN2Generator(n_embed=64, embed_dim=64, ema_update=True,
-                             hparams=hp, hparams_aux=aux)
+                             hparams=hp, hparams_aux=aux, dtype=dtype)
     hd = Stage1HparamsDisc(disc_start=0, disc_weight=0.75,
                            disc_num_layers=2, norm_type=norm_type)
-    disc = make_discriminator(hd)
+    disc = make_discriminator(hd, dtype=dtype)
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3)) * 0.5
     gvars = gen.init(jax.random.PRNGKey(1), x)
@@ -82,6 +82,31 @@ def test_overfit_one_batch_decreases_recon():
         if first is None:
             first = float(metrics['rec_loss'])
     last = float(metrics['rec_loss'])
+    assert last < first * 0.9, (first, last)
+
+
+def test_bf16_train_step_f32_losses_and_converges():
+    """main_stage1.py --bf16: bf16 activations with f32 params. Loss scalars
+    must come out f32 (the loss arithmetic is autocast-exempt, like the
+    reference's fp16 recipe), params stay f32, and one-batch overfitting
+    still drives the recon loss down."""
+    gen, disc, step, state, x = tiny_setup(dtype=jnp.bfloat16)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.gen_params))
+    jit_step = jax.jit(step)
+    first = None
+    rng = jax.random.PRNGKey(6)
+    for i in range(30):
+        rng, k = jax.random.split(rng)
+        state, metrics = jit_step(state, None, x, k)
+        if first is None:
+            for name in ('total_loss', 'rec_loss', 'disc_loss', 'g_loss'):
+                assert metrics[name].dtype == jnp.float32, name
+                assert np.isfinite(float(metrics[name])), name
+            first = float(metrics['rec_loss'])
+    last = float(metrics['rec_loss'])
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.gen_params))
     assert last < first * 0.9, (first, last)
 
 
