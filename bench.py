@@ -140,8 +140,12 @@ def main():
         try:
             from hqtransformer_tpu.sampling.engine import \
                 make_hierarchical_sampler
-            ar = make_hierarchical_sampler(model.stage2, params=sp,
-                                           cache_dtype=jnp.bfloat16)
+            # identical sampler configuration to the e2e path above
+            # (max_seq_len, segments) so dec_ms = e2e - ar is a true
+            # decomposition and the probe tracks BENCH_CONFIG overrides
+            ar = make_hierarchical_sampler(
+                model.stage2, max_seq_len=model.top_res * model.top_res,
+                params=sp, cache_dtype=jnp.bfloat16, n_segments=4)
             v2 = variables['stage2']
             c = ar(v2, key, labels)
             jax.block_until_ready(c)

@@ -101,12 +101,18 @@ def main():
                   logging.FileHandler(os.path.join(args.result_path,
                                                    'fid_prdc.log'))])
 
+    # the bundled dataset fallbacks are INCEPTION statistics/features; with
+    # --feature-extractor pixels they would silently mix 2048-d reference
+    # moments with pixel-space candidate moments — require explicit paths
+    # (built with the same extractor via scripts/compute_fid_stats.py)
     ref_stat = args.ref_stat_path
-    if ref_stat is None and 'fid' in args.metrics:
+    if (ref_stat is None and 'fid' in args.metrics
+            and args.feature_extractor == 'inception'):
         cand = DATASET_STATS_FOR_FID.get(args.ref_dataset, '')
         ref_stat = cand if os.path.exists(cand) else None
     ref_feats = args.ref_feature_path
-    if ref_feats is None and 'prdc' in args.metrics:
+    if (ref_feats is None and 'prdc' in args.metrics
+            and args.feature_extractor == 'inception'):
         cand = DATASET_ACTS_FOR_PRDC.get(args.ref_dataset, '')
         ref_feats = cand if os.path.exists(cand) else None
 

@@ -306,7 +306,7 @@ def build_twostage_config(config_path: str) -> TwoStageConfig:
     data = load_yaml(config_path)
     # tolerate combined train+sample YAMLs that carry stage-1 GAN hparams
     # (unused by the two-stage model itself)
-    if (data.get('stage1') or {}).get('hparams_disc'):
+    if 'hparams_disc' in (data.get('stage1') or {}):
         cfg.stage1.hparams_disc = Stage1HparamsDisc()
     _merge_into_dataclass(cfg, data)
     return cfg

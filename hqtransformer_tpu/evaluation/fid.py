@@ -33,7 +33,9 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """Stable Frechet distance (`fid_utils.py:66-120`)."""
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
-    assert mu1.shape == mu2.shape
+    assert mu1.shape == mu2.shape, (
+        f'feature-dimension mismatch {mu1.shape} vs {mu2.shape}: candidate '
+        f'and reference statistics must come from the same feature extractor')
     assert sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2

@@ -15,6 +15,8 @@ this behaviour, not the "intended" one.
 
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -31,12 +33,30 @@ def groupnorm(name: str, dtype=jnp.float32) -> nn.GroupNorm:
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, name=name)
 
 
+_INT8_DECODE_SCOPE = [False]
+
+
+@contextlib.contextmanager
+def int8_decode_scope():
+    """Trace-time scope marking a serving pixel-decode region: the opt-in
+    A8W8 conv path (HQT_INT8_DECODE=1) engages ONLY inside it. The samplers'
+    decode call sites enter it; encoders, training steps, and eval
+    reconstructions never do — so the env var cannot leak int8 (with its
+    zero-gradient round/clip) into code extraction or training graphs."""
+    prev = _INT8_DECODE_SCOPE[0]
+    _INT8_DECODE_SCOPE[0] = True
+    try:
+        yield
+    finally:
+        _INT8_DECODE_SCOPE[0] = prev
+
+
 def _int8_conv_active(x) -> bool:
-    """A8W8 conv path gate: opt-in via HQT_INT8_DECODE=1, engaged only for
-    bf16 activations (the serving/decode dtype — training and the f32
-    parity paths never see it)."""
-    import os
-    return (os.environ.get('HQT_INT8_DECODE') == '1'
+    """A8W8 conv path gate: opt-in via HQT_INT8_DECODE=1 and only within
+    an `int8_decode_scope()` (the serving decode call sites), only for bf16
+    activations (the serving dtype — f32 parity paths never see it)."""
+    return (_INT8_DECODE_SCOPE[0]
+            and os.environ.get('HQT_INT8_DECODE') == '1'
             and x.dtype == jnp.bfloat16 and x.ndim == 4)
 
 

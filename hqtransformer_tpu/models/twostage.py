@@ -20,8 +20,31 @@ from ..config import (Stage2Hparams, TwoStageConfig, parse_model_type)
 from ..checkpoint import convert_torch_state_dict, load_torch_checkpoint
 from ..sampling.engine import SamplingParams, make_hierarchical_sampler
 from .stage1.generator import build_generator
+from .stage1.layers import int8_decode_scope
 from .stage2.hierarchical import HierarchicalGPT, cells_to_raster
 from .stage2.transformer import IGPT, Transformer1d
+
+
+def _decode_chunked(dec1, arrays, chunk: int):
+    """Run the per-chunk decode `dec1(*arrays_slice)` over `chunk`-sample
+    slices of the leading axis, padding non-divisible batches and dropping
+    the padded outputs. HBM protection: the conv decoder's 256^2 activations
+    at large batch exceed HBM unchunked (16 MB/sample at the flagship
+    config), while the AR loop itself scales past batch 512. Also the
+    single entry point into the serving-only `int8_decode_scope`."""
+    B = arrays[0].shape[0]
+    chunk = min(chunk, B)
+    with int8_decode_scope():
+        if B <= chunk:
+            return dec1(*arrays)
+        n = -(-B // chunk)
+        pad = n * chunk - B
+        padded = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                  for a in arrays]
+        out = jax.lax.map(
+            lambda t: dec1(*t),
+            tuple(a.reshape(n, chunk, *a.shape[1:]) for a in padded))
+        return out.reshape(n * chunk, *out.shape[2:])[:B]
 
 
 def build_stage2(config: TwoStageConfig, dtype=jnp.float32):
@@ -184,27 +207,13 @@ class TwoStageModel:
             return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0)
 
         def sample_pixels(variables, key, labels):
-            B = labels.shape[0]
             codes_t, codes_b = sampler(variables['stage2'], key, labels)
             ct = codes_t.reshape(-1, top_res, top_res)
             cb_raster = cells_to_raster(codes_b, top_res, self.cell_win)
             cb = cb_raster.reshape(-1, top_res * self.cell_win,
                                    top_res * self.cell_win)
-            chunk = min(decode_chunk, B)
-            if B > chunk:
-                # pad to a chunk multiple so HBM-protective chunking holds
-                # for any batch size, then drop the padded decodes
-                n = -(-B // chunk)
-                pad = n * chunk - B
-                ct_p = jnp.pad(ct, ((0, pad), (0, 0), (0, 0)))
-                cb_p = jnp.pad(cb, ((0, pad), (0, 0), (0, 0)))
-                pixels = jax.lax.map(
-                    lambda args: decode(variables, *args),
-                    (ct_p.reshape(n, chunk, *ct.shape[1:]),
-                     cb_p.reshape(n, chunk, *cb.shape[1:])))
-                pixels = pixels.reshape(n * chunk, *pixels.shape[2:])[:B]
-            else:
-                pixels = decode(variables, ct, cb)
+            pixels = _decode_chunked(
+                lambda a, b: decode(variables, a, b), [ct, cb], decode_chunk)
             return pixels, (codes_t, codes_b)
 
         return jax.jit(sample_pixels)
@@ -230,27 +239,16 @@ class TwoStageModel:
         top_res = int(math.isqrt(Ttop))
 
         def decode(variables, codes_t, codes_b):
-            B = codes_t.shape[0]
             ct = codes_t.reshape(-1, top_res, top_res)
             cb = cells_to_raster(codes_b, top_res, self.cell_win).reshape(
                 -1, top_res * self.cell_win, top_res * self.cell_win)
-            chunk = min(decode_chunk, B)
 
             def dec1(ct, cb):
                 px = self.stage1.apply(variables['stage1'], ct, cb,
                                        method=type(self.stage1).decode_code)
                 return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
 
-            if B > chunk:
-                n = -(-B // chunk)
-                pad = n * chunk - B
-                ct_p = jnp.pad(ct, ((0, pad), (0, 0), (0, 0)))
-                cb_p = jnp.pad(cb, ((0, pad), (0, 0), (0, 0)))
-                px = jax.lax.map(lambda a: dec1(*a),
-                                 (ct_p.reshape(n, chunk, *ct.shape[1:]),
-                                  cb_p.reshape(n, chunk, *cb.shape[1:])))
-                return px.reshape(n * chunk, *px.shape[2:])[:B]
-            return dec1(ct, cb)
+            return _decode_chunked(dec1, [ct, cb], decode_chunk)
 
         @jax.jit
         def step_pipelined(variables, key, labels, prev_codes):
@@ -290,8 +288,10 @@ class TwoStageModel:
         def sample_pixels(variables, key, labels):
             codes = sampler(variables['stage2'], key, labels)
             ct = codes.reshape(-1, res, res)
-            pixels = self.stage1.apply(variables['stage1'], ct, None,
-                                       method=type(self.stage1).decode_code)
+            with int8_decode_scope():
+                pixels = self.stage1.apply(
+                    variables['stage1'], ct, None,
+                    method=type(self.stage1).decode_code)
             return jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0), codes
 
         return jax.jit(sample_pixels)
@@ -324,7 +324,6 @@ class TwoStageModel:
             return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
 
         def sample_pixels(variables, key, labels):
-            B = labels.shape[0]
             tops, mids, bots = sampler(variables['stage2'], key, labels)
             codes = [
                 tops.reshape(-1, top_res, top_res),
@@ -332,18 +331,8 @@ class TwoStageModel:
                     -1, top_res * 2, top_res * 2),
                 cells_to_level(bots, top_res, 4).reshape(
                     -1, top_res * 4, top_res * 4)]
-            chunk = min(decode_chunk, B)
-            if B > chunk:
-                n = -(-B // chunk)
-                pad = n * chunk - B
-                padded = [jnp.pad(c, ((0, pad), (0, 0), (0, 0)))
-                          for c in codes]
-                chunks = [c.reshape(n, chunk, *c.shape[1:]) for c in padded]
-                pixels = jax.lax.map(lambda cs: decode(variables, cs),
-                                     tuple(chunks))
-                pixels = pixels.reshape(n * chunk, *pixels.shape[2:])[:B]
-            else:
-                pixels = decode(variables, codes)
+            pixels = _decode_chunked(
+                lambda *cs: decode(variables, list(cs)), codes, decode_chunk)
             return pixels, (tops, mids, bots)
 
         return jax.jit(sample_pixels)

@@ -86,6 +86,8 @@ def main():
             from hqtransformer_tpu.checkpoint import restore_checkpoint
             steps = sorted(int(p) for p in os.listdir(args.stage1_ckpt)
                            if p.isdigit())
+            assert steps, (f'no checkpoint steps under {args.stage1_ckpt} '
+                           f'(pass the ckpt/ dir itself, not the run dir)')
             state1 = restore_checkpoint(args.stage1_ckpt, step=steps[-1])
             variables['stage1'] = {'params': state1['gen_params'],
                                    'ema': state1['ema']}

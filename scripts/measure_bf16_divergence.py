@@ -109,7 +109,11 @@ def main():
     for attn, packed in [('packed', True), ('einsum', False)]:
         sos = m.apply(v2, B, labels, method=HierarchicalGPT.sos_tokens)
         if packed:
-            kc = jnp.zeros((hp.n_layers, 8, B, hp.embed_dim), jnp.bfloat16)
+            # time dim must respect the kernel's row-chunk granularity
+            # (HQT_ATTN_ROW_CHUNK-configurable, pallas_attention.py:46)
+            from hqtransformer_tpu.ops.pallas_attention import ROW_CHUNK
+            kc = jnp.zeros((hp.n_layers, ROW_CHUNK, B, hp.embed_dim),
+                           jnp.bfloat16)
         else:
             from hqtransformer_tpu.models.stage2.layers import kv_cache_shape
             kc = jnp.zeros(kv_cache_shape(

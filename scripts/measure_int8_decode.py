@@ -51,6 +51,8 @@ def main():
         cb = jax.random.randint(jax.random.PRNGKey(2), (B, 16, 16), 0,
                                 model.stage2.vocab_size_bot)
 
+        from hqtransformer_tpu.models.stage1.layers import int8_decode_scope
+
         @jax.jit
         def run(variables, ct, cb):
             def dec(a):
@@ -58,8 +60,9 @@ def main():
                                         method=type(model.stage1).decode_code)
                 return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
             n = B // args.chunk
-            return jax.lax.map(dec, (ct.reshape(n, args.chunk, 8, 8),
-                                     cb.reshape(n, args.chunk, 16, 16)))
+            with int8_decode_scope():   # serving-decode gate (layers.py)
+                return jax.lax.map(dec, (ct.reshape(n, args.chunk, 8, 8),
+                                         cb.reshape(n, args.chunk, 16, 16)))
 
         px = run(variables, ct, cb)
         jax.block_until_ready(px)

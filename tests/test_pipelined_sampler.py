@@ -96,6 +96,7 @@ def test_chunked_decode_is_a_noop(tiny_model):
 
 
 def test_int8_decode_close_to_float(tiny_model):
+    from hqtransformer_tpu.models.stage1.layers import int8_decode_scope
     model, variables = tiny_model
     # int8 gate requires bf16 activations (serving dtype)
     cfg = build_twostage_config(TINY_CFG)
@@ -103,19 +104,28 @@ def test_int8_decode_close_to_float(tiny_model):
     ct = jax.random.randint(jax.random.PRNGKey(5), (2, 8, 8), 0, 256)
     cb = jax.random.randint(jax.random.PRNGKey(6), (2, 16, 16), 0, 256)
 
-    def decode():
-        px = bf16_model.stage1.apply(
-            variables['stage1'], ct, cb,
-            method=type(bf16_model.stage1).decode_code)
-        return np.asarray(jnp.clip(px * 0.5 + 0.5, 0, 1), np.float32)
+    def decode(scoped=True):
+        def run():
+            px = bf16_model.stage1.apply(
+                variables['stage1'], ct, cb,
+                method=type(bf16_model.stage1).decode_code)
+            return np.asarray(jnp.clip(px * 0.5 + 0.5, 0, 1), np.float32)
+        if scoped:
+            with int8_decode_scope():
+                return run()
+        return run()
 
     assert os.environ.get('HQT_INT8_DECODE') != '1'
-    ref = decode()
+    ref = decode()                      # scope without env var: bf16 path
     os.environ['HQT_INT8_DECODE'] = '1'
     try:
         got = decode()
+        # env var WITHOUT the serving scope must not engage (the flag can
+        # never leak into encoders / training / eval reconstructions)
+        unscoped = decode(scoped=False)
     finally:
         del os.environ['HQT_INT8_DECODE']
+    np.testing.assert_array_equal(unscoped, ref)
     assert got.shape == ref.shape
     mse = float(np.mean((got - ref) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
