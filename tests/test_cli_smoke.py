@@ -94,7 +94,7 @@ def test_main_stage2_smoke(tmp_path, image_root):
     stage-1 on the synthetic imagefolder."""
     res = tmp_path / 's2'
     p = _run(['main_stage2.py', '-c', TINY2, '-r', str(res),
-              '--data-root', str(image_root), '--max-steps', '3'])
+              '--data-root', str(image_root), '--max-steps', '3', '--bf16'])
     run_dir = next((res / 'stage2-tiny').iterdir())
     assert (run_dir / 'train.log').exists()
     log = (run_dir / 'train.log').read_text()
