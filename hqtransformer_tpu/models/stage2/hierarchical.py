@@ -391,14 +391,18 @@ class HierarchicalGPT(nn.Module):
         """Public wrapper used by the sampler to build the prefix."""
         return self._sos_embedding(B, labels)
 
-    def spatial_step(self, x: jax.Array, k_cache, v_cache, cache_len):
+    def spatial_step(self, x: jax.Array, k_cache, v_cache, cache_len,
+                     t_compute: int = 0):
         """Run the spatial transformer on T_new token(s) against the cache.
         x: [B, T_new, D]; caches: [L, B, nh, T_max, hd]. Returns (h after
         ln_f [B, T_new, D], k_cache', v_cache')
-        (`hierarchical_ar.py:482-563`)."""
+        (`hierarchical_ar.py:482-563`). `t_compute` (static) bounds the
+        packed kernel's per-segment compute; see
+        ops/pallas_attention.decode_attention_step."""
         for i, blk in enumerate(self.blocks):
             x, k_cache, v_cache = blk.step_stacked(x, k_cache, v_cache, i,
-                                                   cache_len)
+                                                   cache_len,
+                                                   t_compute=t_compute)
         return self.ln_f(x), k_cache, v_cache
 
     def embed_cell_step(self, code_t: jax.Array, bot_cell: jax.Array,

@@ -278,7 +278,8 @@ class _PackedStepMixin:
     Pallas attention kernel (TPU) or its XLA oracle (other backends)."""
 
     def step_packed(self, x: jax.Array, k_caches: jax.Array,
-                    v_caches: jax.Array, layer_idx: int, pos
+                    v_caches: jax.Array, layer_idx: int, pos,
+                    t_compute: int = 0
                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         import os
         from ...ops.pallas_attention import (decode_attention_step,
@@ -290,15 +291,17 @@ class _PackedStepMixin:
         if jax.default_backend() == 'tpu':
             y, k_caches, v_caches = decode_attention_step(
                 q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
-                self.n_heads)
+                self.n_heads, t_compute=t_compute)
         elif os.environ.get('HQT_PACKED_INTERPRET') == '1':
             # interpret-mode kernel on CPU: reproduces the kernel's exact
             # dtype-rounding semantics (bf16 q*k products) for the
             # divergence-measurement tests
             y, k_caches, v_caches = decode_attention_step(
                 q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
-                self.n_heads, interpret=True)
+                self.n_heads, interpret=True, t_compute=t_compute)
         else:
+            # XLA oracle: t_compute is a pure compute bound — rows beyond
+            # pos already get exactly-zero weight, so results are identical
             y, k_caches, v_caches = decode_attention_step_xla(
                 q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
                 self.n_heads)
@@ -403,14 +406,15 @@ class Block(nn.Module):
         return x, k_cache, v_cache
 
     def step_stacked(self, x, k_caches, v_caches, layer_idx, cache_len,
-                     self_mask=None):
+                     self_mask=None, t_compute: int = 0):
         """Decode step dispatching on cache layout: 5-D [L, B, nh, T, hd]
         per-head caches -> einsum path; 4-D [L, T, B, D] packed caches ->
         fused Pallas kernel (single token) or packed prefill."""
         if k_caches.ndim == 4:
             if x.shape[1] == 1 and not isinstance(cache_len, int):
                 a, k_caches, v_caches = self.attn.step_packed(
-                    self.ln1(x), k_caches, v_caches, layer_idx, cache_len)
+                    self.ln1(x), k_caches, v_caches, layer_idx, cache_len,
+                    t_compute=t_compute)
             else:
                 # static cache_len == 0: conditioning-prefix prefill
                 assert isinstance(cache_len, int) and cache_len == 0, (

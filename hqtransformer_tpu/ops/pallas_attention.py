@@ -183,15 +183,24 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('n_heads', 'block_b', 'interpret'))
+                   static_argnames=('n_heads', 'block_b', 'interpret',
+                                    't_compute'))
 def decode_attention_step(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                           k_cache: jax.Array, v_cache: jax.Array,
                           layer, pos, n_heads: int,
-                          block_b: int = 0, interpret: bool = False
+                          block_b: int = 0, interpret: bool = False,
+                          t_compute: int = 0
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """q/k_new/v_new: [B, D]; caches: [L, T, B, D] (updated in place via
     donation). Returns (y [B, D], k_cache', v_cache').
-    block_b=0 picks the largest batch tile (<= 64) dividing B."""
+    block_b=0 picks the largest batch tile (<= 64) dividing B.
+
+    `t_compute` (static, 0 = full T) bounds the kernel's score/AV compute
+    and scratch to the first t_compute cache rows: the sampler allocates
+    the FULL [L, T, B, D] cache once and shrinks only the per-segment
+    compute (no segment-growth copies — the old pad-and-copy growth
+    transiently held 1.5x the cache in HBM, the L42/bs512 OOM). Requires
+    pos < t_compute; rows at/beyond t_compute are never read or written."""
     B, D = q.shape
     L, T, _, _ = k_cache.shape
     if block_b == 0:
@@ -201,7 +210,9 @@ def decode_attention_step(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             raise ValueError(
                 f'packed decode attention needs batch divisible by 8, got '
                 f'{B}; pad the batch or use attention="einsum"')
-    assert B % block_b == 0 and T % ROW_CHUNK == 0, (B, T)
+    T = t_compute or T
+    assert T % ROW_CHUNK == 0 and T <= k_cache.shape[1], (T, k_cache.shape)
+    assert B % block_b == 0, (B, block_b)
     scalars = jnp.stack([jnp.asarray(layer, jnp.int32),
                          jnp.asarray(pos, jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -237,13 +237,16 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
             return -(-t // ROW_CHUNK) * ROW_CHUNK
 
         if packed:
-            # [L, T, B, D]. The kernel DMA-fetches only the valid prefix,
-            # but its VPU/MXU score+AV work covers all T rows (static
-            # shapes) — so segments pay off twice here: smaller T shrinks
-            # both the compute and the scratch. The segment-growth copy is
-            # one slice write (~0.01 ms/sample at B=2048).
-            kc = jnp.zeros((n_layers, packed_t(t0_max), B, hp.embed_dim),
-                           cdtype)
+            # [L, T, B, D], allocated at the FULL final size once. The
+            # kernel DMA-fetches only the valid prefix, and its VPU/MXU
+            # score+AV work is bounded per segment by the static
+            # `t_compute` — segments shrink the compute and the VMEM
+            # scratch WITHOUT per-segment cache reallocations (the old
+            # pad-and-copy growth transiently held 1.5x the cache in HBM:
+            # the L42/bs512 OOM).
+            kc = jnp.zeros((n_layers,
+                            packed_t(sos_len + max_seq_len - 1), B,
+                            hp.embed_dim), cdtype)
         else:
             kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t0_max,
                                           hd), cdtype)
@@ -257,48 +260,43 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
         top0, bot0 = depth_fn(model, variables, h_all[:, -1], k0, params,
                               given_top=g0)
 
-        def body(carry, step):
-            kc, vc, prev_top, prev_bot, key = carry
-            i = step  # spatial index 1..max_seq_len-1
-            x = model.apply(variables, prev_top, prev_bot,
-                            jnp.full((B,), i - 1, jnp.int32),
-                            method=HierarchicalGPT.embed_cell_step)
-            h, kc, vc = model.apply(variables, x, kc, vc,
-                                    sos_len + i - 1,
-                                    method=HierarchicalGPT.spatial_step)
-            key, ki = jax.random.split(key)
-            gi = given_top_codes[:, i] if use_given_top else None
-            top_i, bot_i = depth_fn(model, variables, h[:, -1], ki, params,
-                                    given_top=gi)
-            return (kc, vc, top_i, bot_i, key), (top_i, bot_i)
+        def make_body(t_compute):
+            def body(carry, step):
+                kc, vc, prev_top, prev_bot, key = carry
+                i = step  # spatial index 1..max_seq_len-1
+                x = model.apply(variables, prev_top, prev_bot,
+                                jnp.full((B,), i - 1, jnp.int32),
+                                method=HierarchicalGPT.embed_cell_step)
+                h, kc, vc = model.apply(variables, x, kc, vc,
+                                        sos_len + i - 1,
+                                        method=HierarchicalGPT.spatial_step,
+                                        t_compute=t_compute)
+                key, ki = jax.random.split(key)
+                gi = given_top_codes[:, i] if use_given_top else None
+                top_i, bot_i = depth_fn(model, variables, h[:, -1], ki,
+                                        params, given_top=gi)
+                return (kc, vc, top_i, bot_i, key), (top_i, bot_i)
+            return body
 
         carry = (kc, vc, top0, bot0, key)
         all_tops, all_bots = [], []
         for seg_i, (lo, hi) in enumerate(seg_bounds):
-            if seg_i > 0:
-                # grow the cache to this segment's static size
+            if seg_i > 0 and not packed:
+                # einsum path: grow the cache to this segment's static size
+                # (every step reads the whole cache, so smaller segments cut
+                # HBM traffic; the packed kernel instead bounds compute via
+                # t_compute against the one full-size cache)
                 kc, vc, pt, pb, key = carry
                 seg_t = sos_len + hi - 1
-                if packed and packed_t(seg_t) == kc.shape[1]:
-                    # ROW_CHUNK rounding already covers this segment
-                    kc_big, vc_big = kc, vc
-                elif packed:
-                    kc_big = jnp.zeros((n_layers, packed_t(seg_t), B,
-                                        hp.embed_dim), cdtype)
-                    vc_big = jnp.zeros_like(kc_big)
-                    kc_big = jax.lax.dynamic_update_slice(
-                        kc_big, kc, (0, 0, 0, 0))
-                    vc_big = jax.lax.dynamic_update_slice(
-                        vc_big, vc, (0, 0, 0, 0))
-                else:
-                    kc_big = jnp.zeros(kv_cache_shape(
-                        n_layers, B, n_heads, seg_t, hd), cdtype)
-                    vc_big = jnp.zeros_like(kc_big)
-                    kc_big = jax.lax.dynamic_update_slice(
-                        kc_big, kc, (0, 0, 0, 0, 0))
-                    vc_big = jax.lax.dynamic_update_slice(
-                        vc_big, vc, (0, 0, 0, 0, 0))
+                kc_big = jnp.zeros(kv_cache_shape(
+                    n_layers, B, n_heads, seg_t, hd), cdtype)
+                vc_big = jnp.zeros_like(kc_big)
+                kc_big = jax.lax.dynamic_update_slice(
+                    kc_big, kc, (0, 0, 0, 0, 0))
+                vc_big = jax.lax.dynamic_update_slice(
+                    vc_big, vc, (0, 0, 0, 0, 0))
                 carry = (kc_big, vc_big, pt, pb, key)
+            body = make_body(packed_t(sos_len + hi - 1) if packed else 0)
             carry, (tops, bots) = jax.lax.scan(body, carry,
                                                jnp.arange(lo, hi))
             all_tops.append(tops)

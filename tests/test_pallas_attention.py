@@ -32,6 +32,38 @@ def test_kernel_matches_xla_oracle(layer, pos):
     np.testing.assert_array_equal(np.asarray(vc1), np.asarray(vc2))
 
 
+@pytest.mark.parametrize('t_compute,pos', [(8, 3), (16, 7), (24, 23)])
+def test_kernel_t_compute_bounds_compute_only(t_compute, pos):
+    """With a full-size cache buffer and a static per-segment compute bound
+    (the no-copy segment scheme in sampling/engine.py), the kernel must
+    match the full-T oracle exactly: rows at/beyond t_compute hold garbage
+    the kernel may never read."""
+    B, T, D, NH, L = 32, 32, 256, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    # poison the tail: NaNs beyond t_compute must not reach the output
+    kc = jax.random.normal(ks[0], (L, T, B, D), jnp.float32)
+    vc = jax.random.normal(ks[1], (L, T, B, D), jnp.float32)
+    kc = kc.at[:, t_compute:].set(jnp.nan)
+    vc = vc.at[:, t_compute:].set(jnp.nan)
+    q = jax.random.normal(ks[2], (B, D), jnp.float32)
+    kn = jax.random.normal(ks[3], (B, D), jnp.float32)
+    vn = jax.random.normal(ks[4], (B, D), jnp.float32)
+
+    y1, kc1, vc1 = decode_attention_step(q, kn, vn, kc, vc, 1, pos, NH,
+                                         block_b=32, interpret=True,
+                                         t_compute=t_compute)
+    assert np.isfinite(np.asarray(y1)).all()
+    # oracle over the valid prefix only
+    y2, kc2, vc2 = decode_attention_step_xla(
+        q, kn, vn, kc[:, :t_compute], vc[:, :t_compute], 1, pos, NH)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(kc1[:, :t_compute]),
+                                  np.asarray(kc2))
+    np.testing.assert_array_equal(np.asarray(vc1[:, :t_compute]),
+                                  np.asarray(vc2))
+
+
 def test_oracle_matches_perhead_attention():
     """The packed-layout oracle itself must equal plain per-head cached
     attention (guards the head-slicing convention)."""

@@ -67,18 +67,40 @@ def test_pipelined_matches_plain_and_lags_one_batch(tiny_model):
                                atol=1e-5)
 
 
-def test_cache_segments_do_not_change_codes(tiny_model):
+@pytest.mark.parametrize('attention', ['einsum', 'packed'])
+def test_cache_segments_do_not_change_codes(tiny_model, attention):
+    """Segmentation is pure scheduling on both cache layouts: growing
+    static caches on the einsum path, a single full-size cache with static
+    per-segment compute bounds (t_compute) on the packed path."""
     model, variables = tiny_model
     labels = jnp.asarray([1, 2, 3], jnp.int32)
     key = jax.random.PRNGKey(3)
     outs = []
     for n_segments in (1, 2, 4):
         sampler = make_hierarchical_sampler(model.stage2, params=SP,
-                                            n_segments=n_segments)
+                                            n_segments=n_segments,
+                                            attention=attention)
         outs.append(sampler(variables['stage2'], key, labels))
     for ct, cb in outs[1:]:
         np.testing.assert_array_equal(np.asarray(ct), np.asarray(outs[0][0]))
         np.testing.assert_array_equal(np.asarray(cb), np.asarray(outs[0][1]))
+
+
+def test_packed_and_einsum_paths_agree_f32(tiny_model):
+    """In f32 the packed-cache path (XLA oracle on CPU — same math as the
+    kernel, which test_pallas_attention pins in interpret mode) must emit
+    the einsum path's exact token streams (README 'RNG discipline')."""
+    model, variables = tiny_model
+    labels = jnp.asarray([4, 5], jnp.int32)
+    key = jax.random.PRNGKey(7)
+    a = make_hierarchical_sampler(model.stage2, params=SP,
+                                  attention='einsum')(
+        variables['stage2'], key, labels)
+    b = make_hierarchical_sampler(model.stage2, params=SP,
+                                  attention='packed')(
+        variables['stage2'], key, labels)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
 
 def test_chunked_decode_is_a_noop(tiny_model):
