@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from hqtransformer_tpu.config import build_twostage_config
-from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.models.twostage import (TwoStageModel,
+                                               serving_bf16_params)
 from hqtransformer_tpu.sampling.engine import SamplingParams
 
 BASELINE_SAMPLES_PER_SEC = 100.0
@@ -47,9 +48,7 @@ def main():
     # decode is HBM-bandwidth-bound on weights: store params in bf16 so each
     # of the 64 scan steps streams half the bytes (f32 master copies are a
     # training concern, not a sampling one)
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 and x.ndim >= 2 else x, variables)
+    variables = serving_bf16_params(variables)
 
     sp = SamplingParams(top_k_top=2048, top_k_bot=2048,
                         temperature_top=0.95, temperature_bot=0.95)
@@ -179,27 +178,34 @@ def main():
                                 D * vt + r * D * vb) * 2 / 1e9
             # stage-1 decode FLOPs: XLA-counted via
             # jit(decode).lower(...).compile().cost_analysis() = 174.8
-            # GF/sample at the flagship config (vs 197 TF/s chip peak,
-            # 142 TF/s measured sustained large-gemm rate)
-            dec_gflop = 174.8
+            # GF/sample at the FLAGSHIP stage-1 decoder (all three imagenet
+            # stage-2 configs share it). A BENCH_CONFIG with a different
+            # stage-1 gets no decode/roofline figures rather than wrong ones.
+            flagship = build_twostage_config(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), 'configs',
+                'imagenet', 'stage2', 'hqtransformer-l12-top8x8.yaml'))
+            dec_gflop = 174.8 if cfg.stage1 == flagship.stage1 else None
             dec_ms = e2e_ms - ar_ms
             phases = {
                 'ar_ms_per_sample': round(ar_ms, 4),
                 'decode_ms_per_sample': round(dec_ms, 4),
                 'ar_gflop_per_sample': round(ar_gflop, 1),
-                'decode_gflop_per_sample': dec_gflop,
                 'ar_eff_tflops': round(ar_gflop / ar_ms, 1),
-                'decode_eff_tflops': round(dec_gflop / dec_ms, 1),
                 'chip_bf16_tflops_peak': 197.0,
                 'chip_bf16_tflops_measured_sustained': 142.0,
-                # the bound this proves: even at 100% of the measured
-                # sustained gemm rate for EVERY flop, e2e ms/sample >=
-                # (ar_gflop + dec_gflop)/142 — the model's inherent work
-                'roofline_ms_per_sample_at_sustained': round(
-                    (ar_gflop + dec_gflop) / 142.0, 3),
-                'roofline_samples_per_sec_at_sustained': round(
-                    1000.0 / ((ar_gflop + dec_gflop) / 142.0), 1),
             }
+            if dec_gflop is not None:
+                phases.update({
+                    'decode_gflop_per_sample': dec_gflop,
+                    'decode_eff_tflops': round(dec_gflop / dec_ms, 1),
+                    # the bound this proves: even at 100% of the measured
+                    # sustained gemm rate for EVERY flop, e2e ms/sample >=
+                    # (ar_gflop + dec_gflop)/142 — the model's inherent work
+                    'roofline_ms_per_sample_at_sustained': round(
+                        (ar_gflop + dec_gflop) / 142.0, 3),
+                    'roofline_samples_per_sec_at_sustained': round(
+                        1000.0 / ((ar_gflop + dec_gflop) / 142.0), 1),
+                })
         except Exception as e:                      # pragma: no cover
             print(f'phase section skipped: {e!r}', file=sys.stderr)
 

@@ -30,9 +30,20 @@ def _find(vocab_dir: Optional[str], *names: str) -> str:
         for n in names:
             p = os.path.join(d, n)
             if os.path.exists(p):
+                if d is _BUNDLED_DIR and vocab_dir:
+                    # an explicit --vocab-dir/HQT_VOCAB_DIR that lacks the
+                    # asset must not silently resolve to the stock vocab —
+                    # wrong-vocab ids would look like a model-quality bug
+                    import warnings
+                    warnings.warn(
+                        f'{n} not found under the explicit vocab dir '
+                        f'{vocab_dir!r}; falling back to the bundled copy '
+                        f'{p}', stacklevel=3)
                 return p
     raise FileNotFoundError(
-        f'{names} not found under {vocab_dir or _BUNDLED_DIR}')
+        f'{names} not found under {vocab_dir!r} or the bundled assets '
+        f'({_BUNDLED_DIR})' if vocab_dir else
+        f'{names} not found under the bundled assets ({_BUNDLED_DIR})')
 
 
 class HFTokenizerWrapper:

@@ -75,11 +75,22 @@ class QuantizableConv(nn.Conv):
 
     @nn.compact
     def __call__(self, x):
-        if not _int8_conv_active(x):
+        def _is_one(d):
+            return d is None or d == 1 or (not isinstance(d, int)
+                                           and all(v == 1 for v in d))
+        if not (_int8_conv_active(x)
+                # the int8 branch re-implements only the standard dense
+                # conv; grouped/dilated convs fall back to bf16 rather
+                # than silently computing a different convolution
+                and self.feature_group_count == 1
+                and _is_one(self.kernel_dilation)
+                and _is_one(self.input_dilation)):
             return super().__call__(x)
         # materialize the standard nn.Conv params (identical names/shapes)
-        # with a 1x1-spatial dummy call; XLA discards the tiny conv
-        _ = super().__call__(x[:1, :1, :1, :])
+        # with a kernel-sized-spatial dummy call (VALID-padded convs need
+        # at least the kernel extent); XLA discards the tiny conv
+        kh, kw = self.kernel_size
+        _ = super().__call__(x[:1, :kh, :kw, :])
         kernel = self.variables['params']['kernel']   # [Kh, Kw, I, O]
         bias = self.variables['params'].get('bias')
 

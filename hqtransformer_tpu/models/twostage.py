@@ -80,6 +80,19 @@ def build_stage2(config: TwoStageConfig, dtype=jnp.float32):
     raise ValueError(s2.type)
 
 
+def serving_bf16_params(variables):
+    """The bf16 serving convention shared by every throughput harness
+    (bench.py, measure_throughput.py, the ablation/divergence scripts):
+    store matrix (ndim >= 2) f32 params as bf16. Halves param HBM and
+    removes XLA's hoisted f32->bf16 copy temps; 1-D scales/biases and
+    non-f32 leaves (e.g. int EMA counts) stay as they are. Numerics: one
+    extra bf16 rounding on weights consumed through dtype promotion — same
+    class as the measured bf16 divergence (README "RNG discipline")."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim >= 2 else x, variables)
+
+
 class TwoStageModel:
     """Container pairing the frozen stage-1 generator with a stage-2 AR
     model. Not a flax module: holds two module defs and composes their

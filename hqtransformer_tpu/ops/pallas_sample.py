@@ -7,12 +7,14 @@ threshold, a 10M-element PRNG for the Gumbel draw, softmax passes — each a
 separate kernel launch per AR step. This kernel does the whole pipeline in
 ONE launch with the logits row-tile resident in VMEM:
 
-  1. per-row k-th-value threshold by bisection (on-chip loop, no launches).
-     The loop EARLY-EXITS once every row has either hit an exact count == k
-     (the bracket landed inside the v_k/v_{k+1} gap — typical after ~12-15
-     of the 26 worst-case halvings) or converged to tolerance, and the
-     per-row >=mid counts are summed on the MXU (ones-matmul) instead of a
-     VPU lane reduction;
+  1. per-row k-th-value threshold by bisection (on-chip fori loop, no
+     launches; 26 fixed iterations). Rows that hit an exact count == k
+     FREEZE their threshold (the bracket landed inside the v_k/v_{k+1}
+     gap), which keeps the kept set exactly top-k; an early-exit
+     while_loop variant exists behind HQT_SAMPLE_EARLY_EXIT=1 but measures
+     the same as the fixed loop on v5e (the per-iteration scalar-cond sync
+     costs what the skipped sweeps save), so the simple loop is default.
+     The per-row >=mid counts are plain VPU lane reductions;
   2. masked exp (numerically shifted by the row max);
   3. inverse-CDF draw with a single precomputed uniform per row. Mosaic has
      no cumsum lowering, so the prefix sums are built from MXU matmuls:

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from hqtransformer_tpu.config import build_twostage_config
-from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.models.twostage import (TwoStageModel,
+                                               serving_bf16_params)
 from hqtransformer_tpu.sampling.engine import (SamplingParams,
                                                make_hierarchical_sampler,
                                                make_multilevel_sampler)
@@ -45,6 +46,11 @@ def main():
     dtype = jnp.bfloat16 if a['dtype'] == 'bfloat16' else jnp.float32
     model = TwoStageModel(cfg, dtype=dtype)
     variables = model.init_variables(jax.random.PRNGKey(0))
+    if dtype == jnp.bfloat16:
+        # serving convention shared with bench.py — without this, L42
+        # (1.38B params) holds 5.5 GB f32 + 2.75 GB hoisted bf16 copies
+        # and OOMs at batch 512
+        variables = serving_bf16_params(variables)
 
     n2 = sum(x.size for x in jax.tree.leaves(variables['stage2']))
     print(f'bs{a["batch_size"]}, sampling loops '

@@ -19,7 +19,8 @@ import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 import jax, jax.numpy as jnp
 from hqtransformer_tpu.config import build_twostage_config
-from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.models.twostage import (TwoStageModel,
+                                               serving_bf16_params)
 import hqtransformer_tpu.sampling.engine as E
 import hqtransformer_tpu.models.stage2.layers as L
 from hqtransformer_tpu.models.stage2.hierarchical import HierarchicalGPT
@@ -34,13 +35,15 @@ if MODE == 'nosample':
         return jnp.argmax(logits.astype(jnp.float32), axis=-1)
     E.sample_from_logits = fake_sample
 elif MODE == 'noattn':
-    def fake_step_packed(self, x, k_caches, v_caches, layer_idx, pos):
+    def fake_step_packed(self, x, k_caches, v_caches, layer_idx, pos,
+                         t_compute=0):
         return self.proj(self.ln1_dummy(x) if False else x), k_caches, v_caches
     L.SelfAttention.step_packed = fake_step_packed
 elif MODE == 'attnwrite':
     # keep the cache-row writes (and thus the scan-carry behavior), skip
     # the attention math: isolates carry/update cost from compute/DMA
-    def fake_step_packed(self, x, k_caches, v_caches, layer_idx, pos):
+    def fake_step_packed(self, x, k_caches, v_caches, layer_idx, pos,
+                         t_compute=0):
         q, k_new, v_new = jnp.split(self._fused_qkv_flat(x)[:, 0, :], 3, axis=-1)
         k_caches = jax.lax.dynamic_update_slice(
             k_caches, k_new[None, None].astype(k_caches.dtype), (layer_idx, pos, 0, 0))
@@ -77,8 +80,7 @@ elif MODE == 'nodfirst':
 cfg = build_twostage_config('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml')
 model = TwoStageModel(cfg, dtype=jnp.bfloat16)
 variables = model.init_variables(jax.random.PRNGKey(0))
-variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                         if x.dtype == jnp.float32 and x.ndim >= 2 else x, variables)
+variables = serving_bf16_params(variables)
 v2 = variables['stage2']
 sp = SamplingParams(top_k_top=2048, top_k_bot=2048, temperature_top=0.95, temperature_bot=0.95)
 labels = jnp.arange(B, dtype=jnp.int32) % 1000

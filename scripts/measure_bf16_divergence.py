@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hqtransformer_tpu.config import build_twostage_config
-from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.models.twostage import (TwoStageModel,
+                                               serving_bf16_params)
 from hqtransformer_tpu.sampling.engine import (SamplingParams,
                                                make_hierarchical_sampler)
 
@@ -64,9 +65,7 @@ def main():
     cfg = build_twostage_config(args.config)
     model = TwoStageModel(cfg, dtype=jnp.bfloat16)
     variables = model.init_variables(jax.random.PRNGKey(0))
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 and x.ndim >= 2 else x, variables)
+    variables = serving_bf16_params(variables)
     v2 = variables['stage2']
     m = model.stage2
     labels = jnp.arange(args.batch, dtype=jnp.int32) % 1000

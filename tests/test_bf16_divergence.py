@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from hqtransformer_tpu.config import build_twostage_config
-from hqtransformer_tpu.models.twostage import TwoStageModel
+from hqtransformer_tpu.models.twostage import (TwoStageModel,
+                                               serving_bf16_params)
 from hqtransformer_tpu.sampling.engine import (SamplingParams,
                                                make_hierarchical_sampler)
 
@@ -38,9 +39,7 @@ def bf16_model():
     cfg = build_twostage_config(TINY_CFG)
     model = TwoStageModel(cfg, dtype=jnp.bfloat16)
     variables = model.init_variables(jax.random.PRNGKey(0))
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 and x.ndim >= 2 else x, variables)
+    variables = serving_bf16_params(variables)
     return model, variables
 
 
