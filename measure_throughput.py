@@ -33,6 +33,8 @@ def parse_kv_args(argv):
     cfg = dict(model_path='', batch_size=50, n_loop=6, warmup=1,
                top_resolution=8, code_levels=2, dtype='bfloat16',
                cond='cls',  # cls | txt (the measure_throughput_txt variant)
+               samples_per_loop=1000,  # reference protocol value; lower it
+                                       # only for CI smoke runs
                profile='')  # dir for a jax.profiler trace of one loop
     for a in argv:
         k, v = a.split('=', 1)
@@ -60,7 +62,7 @@ def main():
     print(f'transformer size: {n2 / 1e6:.1f}M')
 
     bs = a['batch_size']
-    n_iter = (1000 + bs - 1) // bs
+    n_iter = (a['samples_per_loop'] + bs - 1) // bs
     Ttop = a['top_resolution'] ** 2
 
     if a['code_levels'] == 2:

@@ -64,10 +64,7 @@ def test_train_resume_eval_stage1(tmp_path, image_root):
     assert 'mse' in p.stdout.lower()
 
 
-def test_txt2img_cli_smoke(tmp_path):
-    caps = tmp_path / 'caps.txt'
-    caps.write_text('a red square on a table\na small blue bird\n')
-    out = tmp_path / 'txt2img'
+def _txt_tiny_config(tmp_path):
     # tiny stage-2 config is cls-cond; make a txt-cond variant on the fly
     import yaml
     cfg = yaml.safe_load(open(TINY2))
@@ -78,14 +75,36 @@ def test_txt2img_cli_smoke(tmp_path):
     cfg['dataset']['tokenizer_type'] = 'bpe16k_huggingface'
     txt_cfg = tmp_path / 'stage2-txt.yaml'
     yaml.safe_dump(cfg, open(txt_cfg, 'w'))
-    vocab_dir = '/root/reference/hqvae/tokenizers/pretrained'
-    if not os.path.isdir(vocab_dir):
-        pytest.skip('tokenizer vocab assets unavailable')
+    return txt_cfg
+
+
+def test_txt2img_cli_smoke(tmp_path):
+    caps = tmp_path / 'caps.txt'
+    caps.write_text('a red square on a table\na small blue bird\n')
+    out = tmp_path / 'txt2img'
+    # no --vocab-dir: exercises the vendored tokenizer assets
+    # (hqtransformer_tpu/assets/tokenizers/) — txt2img is self-contained
     _run(['sampling_hqmodel_txt2img.py', '--random-init', '-c',
-          str(txt_cfg), '-r', str(out), '--captions', str(caps),
-          '--batch-size', '2', '--top-k', '64', '--dtype', 'float32',
-          '--vocab-dir', vocab_dir])
+          str(_txt_tiny_config(tmp_path)), '-r', str(out),
+          '--captions', str(caps),
+          '--batch-size', '2', '--top-k', '64', '--dtype', 'float32'])
     assert list(out.glob('samples_*.pkl'))
+
+
+def test_measure_throughput_smoke(tmp_path):
+    """The throughput harness doubles as the reference's sampling smoke
+    test (SURVEY.md §4, `measure_throughput/__main__.py:25-31` builds from
+    config only); cover both conditioning modes on the tiny model."""
+    p = _run(['measure_throughput.py', f'model_path={TINY2}',
+              'batch_size=4', 'n_loop=2', 'warmup=1', 'top_resolution=4',
+              'samples_per_loop=8', 'dtype=float32'])
+    assert 'ms/sample' in p.stdout and 'bs4 |' in p.stdout
+
+    p = _run(['measure_throughput.py',
+              f'model_path={_txt_tiny_config(tmp_path)}',
+              'batch_size=4', 'n_loop=2', 'warmup=1', 'top_resolution=4',
+              'samples_per_loop=8', 'dtype=float32', 'cond=txt'])
+    assert 'ms/sample' in p.stdout and 'bs4 |' in p.stdout
 
 
 def test_main_stage2_smoke(tmp_path, image_root):
