@@ -57,6 +57,11 @@ def parse_args():
     ap.add_argument('--tp', type=int, default=1,
                     help='tensor-parallel mesh axis size')
     ap.add_argument('--vocab-dir', type=str, default=None)
+    ap.add_argument('--resume', type=str, default=None,
+                    help='orbax ckpt dir of a previous stage-2 run: '
+                         'restores params, optimizer state, and step '
+                         '(the LR schedule position rides in the '
+                         'optimizer state)')
     ap.add_argument('--bf16', action='store_true',
                     help='bf16 activations with f32 master params (losses '
                          'and optimizer statistics stay f32) — the TPU '
@@ -206,6 +211,30 @@ def main():
             stage2_param_sharding(mesh, variables['stage2']['params']))
         state = TrainState(jnp.zeros((), jnp.int32), params,
                            opt.init(params))
+        if args.resume:
+            from hqtransformer_tpu.checkpoint import restore_checkpoint
+            steps_r = sorted(int(os.path.basename(p)) for p in
+                             os.listdir(args.resume)
+                             if os.path.basename(p).isdigit())
+            assert steps_r, f'no checkpoint steps under {args.resume}'
+            restored = restore_checkpoint(
+                args.resume, step=steps_r[-1],
+                template=jax.device_get(state._asdict()))
+            # re-apply the live state's shardings to the restored arrays;
+            # scalars (step, optax counts) were created eagerly without a
+            # mesh sharding — replicate those explicitly or jit rejects
+            # the device mix
+            from jax.sharding import NamedSharding
+
+            def _resharded(old, new):
+                sh = (old.sharding
+                      if isinstance(old.sharding, NamedSharding)
+                      else replicated(mesh))
+                return jax.device_put(jnp.asarray(new), sh)
+
+            state = TrainState(**jax.tree.map(_resharded, state._asdict(),
+                                              restored))
+            logger.line(f'resumed from {args.resume} @ step {steps_r[-1]}')
         stage1_vars = jax.device_put(
             variables['stage1'],
             jax.tree.map(lambda _: replicated(mesh), variables['stage1']))
@@ -246,11 +275,14 @@ def main():
                 run_validation(state.params, stage1_vars, step)
             if (epoch + 1) % cfg.experiment.save_ckpt_freq == 0:
                 save_checkpoint(os.path.join(run_dir, 'ckpt'),
-                                jax.device_get(state.params), step)
+                                jax.device_get(state._asdict()), step)
                 logger.line(f'checkpoint saved @ step {step}')
 
+    # full training state (params + optimizer + step) so --resume can
+    # continue a preempted run exactly; the sampler-ready bundle below is
+    # the artifact downstream tools restore
     save_checkpoint(os.path.join(run_dir, 'ckpt'),
-                    jax.device_get(state.params), step)
+                    jax.device_get(state._asdict()), step)
     # combined sampler-ready checkpoint (frozen stage-1 + trained stage-2),
     # restorable directly by sampling_hqmodel.py — mirrors the reference's
     # released stage-2 .ckpt files which bundle both stages' weights
