@@ -60,6 +60,39 @@ def _int8_conv_active(x) -> bool:
             and x.dtype == jnp.bfloat16 and x.ndim == 4)
 
 
+_INT8_CALIB_SCOPE = [False]
+
+
+@contextlib.contextmanager
+def int8_calibration_scope():
+    """Trace-time scope for activation-range calibration: every
+    QuantizableConv records its input absmax into the 'int8_calib'
+    collection (run `apply(..., mutable=['int8_calib'])` on a
+    representative decode batch inside this scope). The recorded ranges
+    become static quantization scales via `int8_scales_from_calib`."""
+    prev = _INT8_CALIB_SCOPE[0]
+    _INT8_CALIB_SCOPE[0] = True
+    try:
+        yield
+    finally:
+        _INT8_CALIB_SCOPE[0] = prev
+
+
+def int8_scales_from_calib(calib_col):
+    """Convert a collected 'int8_calib' collection (per-conv activation
+    absmax) into the 'act_scales' collection QuantizableConv consumes
+    (scale = absmax / 127, symmetric int8)."""
+    from collections.abc import Mapping
+
+    def walk(t):
+        if isinstance(t, Mapping):
+            return {('scale' if k == 'absmax' else k): walk(v)
+                    for k, v in t.items()}
+        return jnp.maximum(jnp.asarray(t, jnp.float32), 1e-8) / 127.0
+
+    return walk(calib_col)
+
+
 class QuantizableConv(nn.Conv):
     """nn.Conv with an optional A8W8 int8 path (same params/checkpoints).
 
@@ -75,6 +108,14 @@ class QuantizableConv(nn.Conv):
 
     @nn.compact
     def __call__(self, x):
+        if _INT8_CALIB_SCOPE[0] and x.ndim == 4:
+            # activation-range calibration pass (bf16/f32 math unchanged):
+            # running max across calls/chunks
+            self.sow('int8_calib', 'absmax',
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+
         def _is_one(d):
             return d is None or d == 1 or (not isinstance(d, int)
                                            and all(v == 1 for v in d))
@@ -95,7 +136,15 @@ class QuantizableConv(nn.Conv):
         bias = self.variables['params'].get('bias')
 
         xf = x.astype(jnp.float32)
-        x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        if self.has_variable('act_scales', 'scale'):
+            # static (calibrated) scale: skips the dynamic max reduction
+            # and its serialization barrier — the overhead that limited
+            # dynamic A8W8 to ~1.07x e2e. Out-of-range activations
+            # saturate at +-127 (standard PTQ behavior).
+            x_scale = self.get_variable('act_scales',
+                                        'scale').astype(jnp.float32)
+        else:
+            x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
         xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
         kf = kernel.astype(jnp.float32)
         w_scale = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)),

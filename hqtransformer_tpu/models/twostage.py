@@ -194,6 +194,30 @@ class TwoStageModel:
         logits = self.stage2.apply(variables['stage2'], ct, cb, labels)
         return logits, (ct, cb), softs
 
+    # ----------------------------------------------------- int8 calibration
+    def calibrate_int8_decode(self, variables: Dict, *decode_args) -> Dict:
+        """Static (calibrated) quantization scales for the opt-in A8W8
+        serving decode: runs `decode_code` once on a representative code
+        batch, recording every conv's input absmax, and returns `variables`
+        with the stage-1 tree extended by the 'act_scales' collection.
+        With scales present, QuantizableConv skips the per-call dynamic
+        max reduction — the overhead that limited dynamic A8W8 to ~1.07x
+        end-to-end. Standard post-training quantization: activations
+        outside the calibrated range saturate at +-127. Call repeatedly
+        and merge with `jax.tree.map(jnp.maximum, a, b)` to widen ranges
+        over several batches. No reference analogue (its decode runs fp16
+        autocast, `hierarchical_ar.py:445`)."""
+        from .stage1.layers import (int8_calibration_scope,
+                                    int8_scales_from_calib)
+        with int8_calibration_scope():
+            _, col = self.stage1.apply(
+                variables['stage1'], *decode_args,
+                method=type(self.stage1).decode_code,
+                mutable=['int8_calib'])
+        scales = int8_scales_from_calib(col['int8_calib'])
+        return {**variables,
+                'stage1': {**variables['stage1'], 'act_scales': scales}}
+
     # ------------------------------------------------------------- sampling
     def make_pixel_sampler(self, max_seq_len: Optional[int] = None,
                            params: SamplingParams = SamplingParams(),

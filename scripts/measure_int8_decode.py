@@ -33,9 +33,9 @@ def main():
     args = ap.parse_args()
 
     results = {}
-    for mode in ('bf16', 'int8'):
+    for mode in ('bf16', 'int8', 'int8-static'):
         # fresh process-level flag BEFORE tracing
-        os.environ['HQT_INT8_DECODE'] = '1' if mode == 'int8' else '0'
+        os.environ['HQT_INT8_DECODE'] = '0' if mode == 'bf16' else '1'
         import importlib
         import jax
         import jax.numpy as jnp
@@ -52,6 +52,12 @@ def main():
                                 model.stage2.vocab_size_bot)
 
         from hqtransformer_tpu.models.stage1.layers import int8_decode_scope
+
+        if mode == 'int8-static':
+            # calibrated scales: the dynamic per-conv max reduction (and
+            # its serialization barrier) disappears from the decode
+            variables = model.calibrate_int8_decode(
+                variables, ct[:min(64, B)], cb[:min(64, B)])
 
         @jax.jit
         def run(variables, ct, cb):
@@ -74,15 +80,16 @@ def main():
             jax.block_until_ready(px)
             float(jnp.sum(px[0, 0, 0, 0].astype(jnp.float32)))
             ts.append(time.perf_counter() - t0)
-        results[mode] = (np.asarray(px, np.float32).reshape(B, 256, 256, 3),
-                         min(ts))
+        px = np.asarray(px, np.float32)       # [n_chunks, chunk, H, W, 3]
+        results[mode] = (px.reshape(B, *px.shape[2:]), min(ts))
         print(f'{mode}: {min(ts) / B * 1000:.3f} ms/sample')
 
-    d = results['bf16'][0] - results['int8'][0]
-    mse = float((d ** 2).mean())
-    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))   # pixel range [0, 1]
-    print(f'int8 vs bf16: PSNR {psnr:.1f} dB  mse {mse:.2e}  '
-          f'speedup {results["bf16"][1] / results["int8"][1]:.2f}x')
+    for mode in ('int8', 'int8-static'):
+        d = results['bf16'][0] - results[mode][0]
+        mse = float((d ** 2).mean())
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))   # pixel range [0, 1]
+        print(f'{mode} vs bf16: PSNR {psnr:.1f} dB  mse {mse:.2e}  '
+              f'speedup {results["bf16"][1] / results[mode][1]:.2f}x')
 
 
 if __name__ == '__main__':

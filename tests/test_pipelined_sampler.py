@@ -155,3 +155,47 @@ def test_int8_decode_close_to_float(tiny_model):
     # pin "quantization engaged and sane", not production quality
     assert psnr > 20.0, psnr
     assert not np.array_equal(got, ref)     # the int8 path actually ran
+
+
+def test_int8_static_scales_decode(tiny_model):
+    """Calibrated (static-scale) A8W8: calibrate_int8_decode records each
+    conv's activation absmax and the decode then consumes 'act_scales'
+    instead of computing dynamic per-call maxima. On the calibration batch
+    itself the static path must track the bf16 decode as closely as the
+    dynamic path (identical quantization grid up to the scale source)."""
+    from hqtransformer_tpu.models.stage1.layers import int8_decode_scope
+    model, variables = tiny_model
+    cfg = build_twostage_config(TINY_CFG)
+    bf16_model = TwoStageModel(cfg, dtype=jnp.bfloat16)
+    ct = jax.random.randint(jax.random.PRNGKey(5), (2, 8, 8), 0, 256)
+    cb = jax.random.randint(jax.random.PRNGKey(6), (2, 16, 16), 0, 256)
+
+    calibrated = bf16_model.calibrate_int8_decode(variables, ct, cb)
+    scales = calibrated['stage1']['act_scales']
+    leaves = jax.tree.leaves(scales)
+    assert leaves and all(float(s) > 0 for s in leaves)
+    # calibration must not touch the weights
+    assert calibrated['stage1']['params'] is variables['stage1']['params']
+
+    def decode(vars1):
+        with int8_decode_scope():
+            px = bf16_model.stage1.apply(
+                vars1, ct, cb, method=type(bf16_model.stage1).decode_code)
+        return np.asarray(jnp.clip(px * 0.5 + 0.5, 0, 1), np.float32)
+
+    assert os.environ.get('HQT_INT8_DECODE') != '1'
+    ref = decode(variables['stage1'])          # bf16 (env var off)
+    os.environ['HQT_INT8_DECODE'] = '1'
+    try:
+        static = decode(calibrated['stage1'])
+        dynamic = decode(variables['stage1'])
+    finally:
+        del os.environ['HQT_INT8_DECODE']
+
+    for got in (static, dynamic):
+        mse = float(np.mean((got - ref) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 20.0, psnr
+    # static engaged a quantized path distinct from both bf16 and dynamic
+    # (scales come from the whole calibration batch, not per-chunk maxima)
+    assert not np.array_equal(static, ref)
