@@ -55,15 +55,12 @@ def main():
     if args.model_path and os.path.isdir(args.model_path):
         # Orbax dir from main_stage1.py (ckpt/<step>/ holding the full
         # Stage1State tree): restore the latest step's generator params+ema
-        import glob as _glob
-        from hqtransformer_tpu.checkpoint import restore_checkpoint
-        steps = sorted(int(os.path.basename(p)) for p in
-                       _glob.glob(os.path.join(args.model_path, '*'))
-                       if os.path.basename(p).isdigit())
-        assert steps, f'no checkpoint steps under {args.model_path}'
-        state = restore_checkpoint(args.model_path, step=steps[-1])
+        from hqtransformer_tpu.checkpoint import (latest_step,
+                                                  restore_checkpoint)
+        step = latest_step(args.model_path)
+        state = restore_checkpoint(args.model_path, step=step)
         variables = {'params': state['gen_params'], 'ema': state['ema']}
-        print(f'{args.model_path} (orbax, step {steps[-1]}) restored..')
+        print(f'{args.model_path} (orbax, step {step}) restored..')
     elif args.model_path:
         sd = load_torch_checkpoint(args.model_path)
         if any(k.startswith('stage1.') for k in sd):

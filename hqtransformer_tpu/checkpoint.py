@@ -269,6 +269,21 @@ def restore_checkpoint(path: str, step: int = 0, template: Any = None) -> Any:
     return ckptr.restore(os.path.join(path, str(step)))
 
 
+def latest_step(path: str) -> int:
+    """Largest numeric step directory under an orbax checkpoint dir (the
+    layout save_checkpoint writes: <path>/<step>/...). Raises FileNotFoundError
+    with both accepted layouts named when none exists — shared by every
+    restore-latest call site (training --resume, --stage1-ckpt, eval,
+    sampling)."""
+    steps = [int(p) for p in os.listdir(path) if p.isdigit()]
+    if not steps:
+        raise FileNotFoundError(
+            f'no checkpoint steps under {path} (expected numeric step '
+            f'subdirectories as written by save_checkpoint; pass the '
+            f'ckpt/ dir itself, not the run dir)')
+    return max(steps)
+
+
 # ---------------------------------------------------------------------------
 # flax -> torch export (round-trip inverse of convert_torch_state_dict)
 # ---------------------------------------------------------------------------

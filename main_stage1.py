@@ -142,17 +142,18 @@ def main():
                         g_opt.init(gvars['params']),
                         d_opt.init(dvars['params']))
 
+    start_step = 0
     if args.resume:
-        from hqtransformer_tpu.checkpoint import restore_checkpoint
-        import glob as _glob
-        steps = sorted(int(os.path.basename(p)) for p in
-                       _glob.glob(os.path.join(args.resume, '*'))
-                       if os.path.basename(p).isdigit())
-        assert steps, f'no checkpoint steps under {args.resume}'
-        restored = restore_checkpoint(args.resume, step=steps[-1],
+        from hqtransformer_tpu.checkpoint import (latest_step,
+                                                  restore_checkpoint)
+        resume_step = latest_step(args.resume)
+        restored = restore_checkpoint(args.resume, step=resume_step,
                                       template=state._asdict())
         state = Stage1State(**restored)
-        logger.line(f'resumed from {args.resume} @ step {steps[-1]}')
+        # continue the TRUE step count (labels, ckpt dir names, the
+        # total_steps bound, per-epoch loader seeding)
+        start_step = resume_step
+        logger.line(f'resumed from {args.resume} @ step {resume_step}')
 
     train_step = make_stage1_train_step(
         generator, discriminator, lpips, g_opt, d_opt, hd,
@@ -209,9 +210,11 @@ def main():
     assert len(train_ds) >= global_bs, (
         f'dataset ({len(train_ds)} images) smaller than one global batch '
         f'({global_bs}); reduce local_batch_size')
-    step = 0
+    step = start_step
     t0 = time.time()
-    for epoch in range(10 ** 9):
+    for epoch in range(start_step // steps_per_epoch, 10 ** 9):
+        if step >= total_steps:
+            break
         loader_cfg.seed = args.seed + epoch
         for x_np, _ in PrefetchLoader(DataLoader(train_ds,
                                                  loader_cfg)):
@@ -219,9 +222,9 @@ def main():
             key, k = jax.random.split(key)
             state, metrics = jit_step(state, lpips_vars, x, k)
             step += 1
-            if step % 50 == 0 or step == 1:
+            if step % 50 == 0 or step == start_step + 1:
                 m = {k2: float(v) for k2, v in metrics.items()}
-                dt = (time.time() - t0) / step
+                dt = (time.time() - t0) / (step - start_step)
                 logger.line(f'step {step}/{total_steps} '
                             f'({global_bs / dt:.1f} img/s) ' +
                             ' '.join(f'{k2}={v:.4f}'

@@ -88,12 +88,10 @@ def main():
         if os.path.isdir(args.stage1_ckpt):
             # orbax dir written by main_stage1.py (Stage1State tree):
             # restore the latest step's generator params + EMA buffers
-            from hqtransformer_tpu.checkpoint import restore_checkpoint
-            steps = sorted(int(p) for p in os.listdir(args.stage1_ckpt)
-                           if p.isdigit())
-            assert steps, (f'no checkpoint steps under {args.stage1_ckpt} '
-                           f'(pass the ckpt/ dir itself, not the run dir)')
-            state1 = restore_checkpoint(args.stage1_ckpt, step=steps[-1])
+            from hqtransformer_tpu.checkpoint import (latest_step,
+                                                      restore_checkpoint)
+            state1 = restore_checkpoint(args.stage1_ckpt,
+                                        step=latest_step(args.stage1_ckpt))
             variables['stage1'] = {'params': state1['gen_params'],
                                    'ema': state1['ema']}
         else:
@@ -211,14 +209,13 @@ def main():
             stage2_param_sharding(mesh, variables['stage2']['params']))
         state = TrainState(jnp.zeros((), jnp.int32), params,
                            opt.init(params))
+        start_step = 0
         if args.resume:
-            from hqtransformer_tpu.checkpoint import restore_checkpoint
-            steps_r = sorted(int(os.path.basename(p)) for p in
-                             os.listdir(args.resume)
-                             if os.path.basename(p).isdigit())
-            assert steps_r, f'no checkpoint steps under {args.resume}'
+            from hqtransformer_tpu.checkpoint import (latest_step,
+                                                      restore_checkpoint)
+            resume_step = latest_step(args.resume)
             restored = restore_checkpoint(
-                args.resume, step=steps_r[-1],
+                args.resume, step=resume_step,
                 template=jax.device_get(state._asdict()))
             # re-apply the live state's shardings to the restored arrays;
             # scalars (step, optax counts) were created eagerly without a
@@ -234,7 +231,11 @@ def main():
 
             state = TrainState(**jax.tree.map(_resharded, state._asdict(),
                                               restored))
-            logger.line(f'resumed from {args.resume} @ step {steps_r[-1]}')
+            # continue the TRUE step count: step labels, checkpoint dir
+            # names, the total_steps bound, and per-epoch loader seeding
+            # all pick up where the preempted run stopped
+            start_step = resume_step
+            logger.line(f'resumed from {args.resume} @ step {resume_step}')
         stage1_vars = jax.device_put(
             variables['stage1'],
             jax.tree.map(lambda _: replicated(mesh), variables['stage1']))
@@ -249,8 +250,10 @@ def main():
         assert len(train_ds) >= global_bs, (
             f'dataset ({len(train_ds)} images) smaller than one global '
             f'batch ({global_bs}); reduce local_batch_size')
-        step, t0 = 0, time.time()
-        for epoch in range(10 ** 9):
+        step, t0 = start_step, time.time()
+        for epoch in range(start_step // steps_per_epoch, 10 ** 9):
+            if step >= total_steps:
+                break
             loader_cfg.seed = args.seed + epoch
             for x_np, labels_np in PrefetchLoader(
                     DataLoader(train_ds, loader_cfg)):
@@ -259,9 +262,9 @@ def main():
                     mesh, np.asarray(labels_np).astype(np.int32))
                 state, metrics = jit_step(state, stage1_vars, x, labels)
                 step += 1
-                if step % 50 == 0 or step == 1:
+                if step % 50 == 0 or step == start_step + 1:
                     m = {k: float(v) for k, v in metrics.items()}
-                    dt = (time.time() - t0) / step
+                    dt = (time.time() - t0) / (step - start_step)
                     logger.line(f'step {step}/{total_steps} '
                                 f'({global_bs / dt:.1f} img/s) ' +
                                 ' '.join(f'{k}={v:.4f}'

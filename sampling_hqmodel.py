@@ -82,11 +82,10 @@ def load_model(args):
                                                         variables)
             print(f'{args.model_path} (torch) successfully restored..')
         else:
-            from hqtransformer_tpu.checkpoint import restore_checkpoint
-            steps = sorted(int(p) for p in os.listdir(args.model_path)
-                           if p.isdigit())
+            from hqtransformer_tpu.checkpoint import (latest_step,
+                                                      restore_checkpoint)
             variables = restore_checkpoint(args.model_path,
-                                           step=steps[-1] if steps else 0,
+                                           step=latest_step(args.model_path),
                                            template=variables)
             print(f'{args.model_path} (orbax) successfully restored..')
     return model, variables

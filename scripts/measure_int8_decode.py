@@ -81,15 +81,17 @@ def main():
             float(jnp.sum(px[0, 0, 0, 0].astype(jnp.float32)))
             ts.append(time.perf_counter() - t0)
         px = np.asarray(px, np.float32)       # [n_chunks, chunk, H, W, 3]
-        results[mode] = (px.reshape(B, *px.shape[2:]), min(ts))
+        px = px.reshape(B, *px.shape[2:])
         print(f'{mode}: {min(ts) / B * 1000:.3f} ms/sample')
-
-    for mode in ('int8', 'int8-static'):
-        d = results['bf16'][0] - results[mode][0]
-        mse = float((d ** 2).mean())
-        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))   # pixel range [0, 1]
-        print(f'{mode} vs bf16: PSNR {psnr:.1f} dB  mse {mse:.2e}  '
-              f'speedup {results["bf16"][1] / results[mode][1]:.2f}x')
+        if mode == 'bf16':
+            # keep only the reference pixels; compare the quantized modes
+            # inline (each mode's array is ~400 MB at the default batch)
+            results['bf16'] = (px, min(ts))
+        else:
+            mse = float(((results['bf16'][0] - px) ** 2).mean())
+            psnr = 10 * np.log10(1.0 / max(mse, 1e-12))   # range [0, 1]
+            print(f'{mode} vs bf16: PSNR {psnr:.1f} dB  mse {mse:.2e}  '
+                  f'speedup {results["bf16"][1] / min(ts):.2f}x')
 
 
 if __name__ == '__main__':

@@ -120,11 +120,15 @@ def test_main_stage2_smoke(tmp_path, image_root):
     assert 'step 1/' in log and 'loss' in log
 
     # --resume restores params + optimizer state + step from the full
-    # TrainState checkpoint (the reference never shipped a stage-2 launch
-    # script at all, let alone resume)
+    # TrainState checkpoint and CONTINUES the true step count (the
+    # reference never shipped a stage-2 launch script at all, let alone
+    # resume): restored @ step 3, the next logged step is 4/5, and the
+    # final checkpoint lands at the true step 5
     _run(['main_stage2.py', '-c', TINY2, '-r', str(tmp_path / 's2b'),
-          '--data-root', str(image_root), '--max-steps', '2',
+          '--data-root', str(image_root), '--max-steps', '5',
           '--resume', str(run_dir / 'ckpt')])
     run2 = next((tmp_path / 's2b' / 'stage2-tiny').iterdir())
     log2 = (run2 / 'train.log').read_text()
     assert 'resumed from' in log2 and '@ step 3' in log2
+    assert 'step 4/5' in log2, log2
+    assert 'final checkpoint saved @ step 5' in log2, log2

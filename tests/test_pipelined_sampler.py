@@ -196,6 +196,15 @@ def test_int8_static_scales_decode(tiny_model):
         mse = float(np.mean((got - ref) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr > 20.0, psnr
-    # static engaged a quantized path distinct from both bf16 and dynamic
-    # (scales come from the whole calibration batch, not per-chunk maxima)
-    assert not np.array_equal(static, ref)
+    assert not np.array_equal(static, ref)   # a quantized path ran
+    # pin that the static path actually CONSUMES 'act_scales' (a silent
+    # fallback to the dynamic branch would also pass the asserts above):
+    # corrupting the scales must visibly change the output
+    bad = {**calibrated['stage1'],
+           'act_scales': jax.tree.map(lambda s: s * 1000.0, scales)}
+    os.environ['HQT_INT8_DECODE'] = '1'
+    try:
+        static_bad = decode(bad)
+    finally:
+        del os.environ['HQT_INT8_DECODE']
+    assert not np.array_equal(static_bad, static)
