@@ -95,6 +95,36 @@ def test_sharded_train_step_matches_single_device():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_dp_sharded_sampler_matches_single_device():
+    """Data-parallel SERVING: the jitted lax.scan sampler run with
+    dp-sharded labels and replicated params emits bit-identical token
+    streams to the single-device run, and the outputs stay dp-sharded
+    (pod-scale sampling = the same program over a bigger mesh; the
+    reference samples on exactly one GPU, `sampling_hqmodel.py:178-225`)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hqtransformer_tpu.sampling.engine import (SamplingParams,
+                                                   make_hierarchical_sampler)
+    model = tiny_model()
+    B, Ttop = 16, 16
+    labels = jnp.arange(B, dtype=jnp.int32) % 10
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((B, Ttop), jnp.int32),
+                           jnp.zeros((B, Ttop * 4), jnp.int32), labels)
+    sampler = make_hierarchical_sampler(
+        model, Ttop, SamplingParams(top_k_top=16, top_k_bot=16))
+    key = jax.random.PRNGKey(7)
+    ct0, cb0 = jax.jit(sampler)(variables, key, labels)
+
+    mesh = make_mesh(dp=8, tp=1)
+    repl = NamedSharding(mesh, P())
+    v = jax.device_put(variables, jax.tree.map(lambda _: repl, variables))
+    lab = jax.device_put(labels, NamedSharding(mesh, P('dp')))
+    ct1, cb1 = jax.jit(sampler)(v, jax.device_put(key, repl), lab)
+    np.testing.assert_array_equal(np.asarray(ct0), np.asarray(ct1))
+    np.testing.assert_array_equal(np.asarray(cb0), np.asarray(cb1))
+    assert ct1.sharding.spec == P('dp'), ct1.sharding
+
+
 def test_scheduler_matches_torch_reference():
     torch = pytest.importorskip('torch')
     from reference_loader import NSDict, ref_module
