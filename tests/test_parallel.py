@@ -95,12 +95,14 @@ def test_sharded_train_step_matches_single_device():
                                    atol=1e-5, rtol=1e-4)
 
 
-def test_dp_sharded_sampler_matches_single_device():
-    """Data-parallel SERVING: the jitted lax.scan sampler run with
-    dp-sharded labels and replicated params emits bit-identical token
-    streams to the single-device run, and the outputs stay dp-sharded
-    (pod-scale sampling = the same program over a bigger mesh; the
-    reference samples on exactly one GPU, `sampling_hqmodel.py:178-225`)."""
+@pytest.mark.parametrize('dp,tp', [(8, 1), (2, 4)])
+def test_sharded_sampler_matches_single_device(dp, tp):
+    """SPMD SERVING: the jitted lax.scan sampler run with dp-sharded
+    labels — and, in the tp case, Megatron-sharded params (models bigger
+    than one chip's HBM) — emits bit-identical token streams to the
+    single-device run, with outputs left dp-sharded. Pod-scale sampling
+    is the same program over a bigger mesh; the reference samples on
+    exactly one GPU (`sampling_hqmodel.py:178-225`)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from hqtransformer_tpu.sampling.engine import (SamplingParams,
                                                    make_hierarchical_sampler)
@@ -115,9 +117,13 @@ def test_dp_sharded_sampler_matches_single_device():
     key = jax.random.PRNGKey(7)
     ct0, cb0 = jax.jit(sampler)(variables, key, labels)
 
-    mesh = make_mesh(dp=8, tp=1)
+    mesh = make_mesh(dp=dp, tp=tp)
     repl = NamedSharding(mesh, P())
-    v = jax.device_put(variables, jax.tree.map(lambda _: repl, variables))
+    if tp > 1:
+        v = jax.device_put(variables, stage2_param_sharding(mesh, variables))
+    else:
+        v = jax.device_put(variables,
+                           jax.tree.map(lambda _: repl, variables))
     lab = jax.device_put(labels, NamedSharding(mesh, P('dp')))
     ct1, cb1 = jax.jit(sampler)(v, jax.device_put(key, repl), lab)
     np.testing.assert_array_equal(np.asarray(ct0), np.asarray(ct1))
