@@ -20,17 +20,10 @@ rebuild target (BASELINE.md) corresponds to vs_baseline >= 5.
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import jax
-import jax.numpy as jnp
-
-from hqtransformer_tpu.config import build_twostage_config
-from hqtransformer_tpu.models.twostage import (TwoStageModel,
-                                               serving_bf16_params)
-from hqtransformer_tpu.sampling.engine import SamplingParams
 
 BASELINE_SAMPLES_PER_SEC = 100.0
 CONFIG = os.environ.get('BENCH_CONFIG', os.path.join(
@@ -38,7 +31,109 @@ CONFIG = os.environ.get('BENCH_CONFIG', os.path.join(
     'stage2', 'hqtransformer-l12-top8x8.yaml'))
 
 
+def _emit(extra=None, value=0.0):
+    """Print the one contract JSON line. Called exactly once per run."""
+    out = {
+        'metric': 'imagenet256_e2e_samples_per_sec_per_chip',
+        'value': round(value, 3),
+        'unit': 'samples/s',
+        'vs_baseline': round(value / BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+def _fail(reason, detail=''):
+    """Emit a diagnosable artifact instead of a traceback, and exit 0 so the
+    driver records the JSON line (round 3's number was lost to an rc=1
+    traceback when the TPU relay was down at capture time)."""
+    _emit({'error': reason, 'detail': str(detail)[:500]})
+    os._exit(0)
+
+
+def _relay_probe(timeout=3.0):
+    """True iff the axon TPU relay answers HTTP (any status, even an error
+    page, means the listener is back; connection-refused means it is down)."""
+    import urllib.error
+    import urllib.request
+    try:
+        urllib.request.urlopen('http://127.0.0.1:8103/remote_compile',
+                               timeout=timeout)
+        return True
+    except urllib.error.HTTPError:
+        return True
+    except Exception:
+        return False
+
+
+def _wait_for_backend():
+    """Never touch the jax backend while the relay is down: client init then
+    HANGS (not fails), and a killed TPU process can wedge the device lease.
+    Poll the relay HTTP endpoint (pure socket, no jax) with a bounded budget;
+    the outage is transient and nothing inside the container can restart it.
+
+    Also arms a watchdog for the *first device op*: a relay that answers HTTP
+    but has a wedged lease hangs even `jnp.ones` — after the budget we emit
+    the error artifact and hard-exit rather than letting the driver time out
+    with an empty record. Returns the disarm callback."""
+    platforms = os.environ.get('JAX_PLATFORMS', '').lower()
+    budget = float(os.environ.get('BENCH_BACKEND_WAIT_S', '600'))
+    if 'axon' in platforms:
+        deadline = time.time() + budget
+        waited = False
+        while not _relay_probe():
+            waited = True
+            if time.time() > deadline:
+                _fail('backend_unavailable',
+                      'axon TPU relay :8103 unreachable for '
+                      f'{budget:.0f}s (connection refused)')
+            print('bench: axon relay down, polling...', file=sys.stderr)
+            time.sleep(15)
+        if waited:
+            print('bench: relay back up', file=sys.stderr)
+
+    armed = threading.Event()
+    armed.set()
+
+    def watchdog():
+        t = float(os.environ.get('BENCH_INIT_TIMEOUT_S', '900'))
+        time.sleep(t)
+        if armed.is_set():
+            _fail('backend_hang',
+                  f'first device op did not complete in {t:.0f}s '
+                  '(wedged TPU lease?)')
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return armed.clear
+
+
 def main():
+    disarm = _wait_for_backend()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hqtransformer_tpu.config import build_twostage_config
+    from hqtransformer_tpu.models.twostage import (TwoStageModel,
+                                                   serving_bf16_params)
+    from hqtransformer_tpu.sampling.engine import SamplingParams
+
+    try:
+        jnp.zeros((), jnp.float32).block_until_ready()
+    except Exception as e:
+        _fail('backend_unavailable', repr(e))
+    disarm()
+
+    # whole-run watchdog: a TPU lease that wedges MID-run (or a compile that
+    # never returns) must still leave a diagnosable artifact
+    def run_watchdog():
+        t = float(os.environ.get('BENCH_TOTAL_TIMEOUT_S', '3300'))
+        time.sleep(t)
+        _fail('run_timeout', f'bench did not finish within {t:.0f}s')
+
+    threading.Thread(target=run_watchdog, daemon=True).start()
     batch = int(os.environ.get('BENCH_BATCH', '2048'))
     n_loops = int(os.environ.get('BENCH_LOOPS', '3'))
 
@@ -185,44 +280,60 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)), 'configs',
                 'imagenet', 'stage2', 'hqtransformer-l12-top8x8.yaml'))
             dec_gflop = 174.8 if cfg.stage1 == flagship.stage1 else None
+            # NOTE decode_ms = e2e - ar assumes additivity: the pipelined
+            # program decodes batch i-1 during batch i's AR loop, so XLA may
+            # overlap the phases and skew the split. The floors below do NOT
+            # depend on that split — only on the gemm inventories.
             dec_ms = e2e_ms - ar_ms
             phases = {
                 'ar_ms_per_sample': round(ar_ms, 4),
                 'decode_ms_per_sample': round(dec_ms, 4),
+                'decomposition_note':
+                    'decode_ms = e2e - ar (additivity assumed; pipelined '
+                    'program may overlap phases)',
                 'ar_gflop_per_sample': round(ar_gflop, 1),
                 'ar_eff_tflops': round(ar_gflop / ar_ms, 1),
                 'chip_bf16_tflops_peak': 197.0,
-                'chip_bf16_tflops_measured_sustained': 142.0,
+                # measured sustained rate of the AR gemm shapes (depth-chain
+                # probes, scripts/ablate_ar.py); decode convs have been
+                # measured ABOVE this (≈155 eff), so it bounds only AR
+                'ar_gemm_tflops_measured_sustained': 142.0,
             }
             if dec_gflop is not None:
+                # per-phase floors an outsider can check: AR flop at the
+                # measured sustained gemm rate, decode flop at chip PEAK
+                # (decode's measured effective rate exceeds the gemm
+                # sustained figure, so peak is the only safe divisor).
+                ar_floor = ar_gflop / 142.0
+                dec_floor = dec_gflop / 197.0
                 phases.update({
                     'decode_gflop_per_sample': dec_gflop,
                     'decode_eff_tflops': round(dec_gflop / dec_ms, 1),
-                    # the bound this proves: even at 100% of the measured
-                    # sustained gemm rate for EVERY flop, e2e ms/sample >=
-                    # (ar_gflop + dec_gflop)/142 — the model's inherent work
-                    'roofline_ms_per_sample_at_sustained': round(
-                        (ar_gflop + dec_gflop) / 142.0, 3),
-                    'roofline_samples_per_sec_at_sustained': round(
-                        1000.0 / ((ar_gflop + dec_gflop) / 142.0), 1),
+                    'ar_floor_ms_at_sustained_gemm': round(ar_floor, 3),
+                    'decode_floor_ms_at_peak': round(dec_floor, 3),
+                    'e2e_floor_ms_per_sample': round(ar_floor + dec_floor, 3),
+                    'e2e_bound_samples_per_sec': round(
+                        1000.0 / (ar_floor + dec_floor), 1),
                 })
         except Exception as e:                      # pragma: no cover
             print(f'phase section skipped: {e!r}', file=sys.stderr)
 
-    out = {
-        'metric': 'imagenet256_e2e_samples_per_sec_per_chip',
-        'value': round(samples_per_sec, 3),
-        'unit': 'samples/s',
-        'vs_baseline': round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-    }
+    extra = {}
     if ref_ms_per_sample is not None:
-        out['ms_per_sample_bs50_reference_protocol'] = round(
+        extra['ms_per_sample_bs50_reference_protocol'] = round(
             ref_ms_per_sample, 3)
-        out['bs50_spread'] = round(ref_spread, 4)
+        extra['bs50_spread'] = round(ref_spread, 4)
     if phases is not None:
-        out['phases'] = phases
-    print(json.dumps(out))
+        extra['phases'] = phases
+    _emit(extra, value=samples_per_sec)
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:                      # pragma: no cover
+        import traceback
+        traceback.print_exc()
+        _fail(type(e).__name__, e)

@@ -20,30 +20,46 @@ _BUNDLED_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'assets', 'tokenizers')
 
 
-def _find(vocab_dir: Optional[str], *names: str) -> str:
-    """Resolve a tokenizer asset: explicit `vocab_dir=` (the CLIs expose
-    `--vocab-dir`) or HQT_VOCAB_DIR take precedence; otherwise fall back to
-    the vendored copies under `hqtransformer_tpu/assets/tokenizers/`."""
+def _find_group(vocab_dir: Optional[str], *names: str) -> List[str]:
+    """Resolve a SET of paired tokenizer assets (e.g. vocab + merges) from a
+    SINGLE directory: explicit `vocab_dir=` (the CLIs expose `--vocab-dir`)
+    or HQT_VOCAB_DIR take precedence; otherwise fall back to the vendored
+    copies under `hqtransformer_tpu/assets/tokenizers/`.
+
+    Paired assets are all-or-nothing per directory: an explicit dir holding
+    the vocab but not the merges raises instead of silently mixing the
+    user's vocab with the bundled merges — an inconsistent pair produces
+    wrong token ids that look like a model-quality bug."""
     if vocab_dir is None:
         vocab_dir = os.environ.get('HQT_VOCAB_DIR')
-    for d in filter(None, (vocab_dir, _BUNDLED_DIR)):
-        for n in names:
-            p = os.path.join(d, n)
-            if os.path.exists(p):
-                if d is _BUNDLED_DIR and vocab_dir:
-                    # an explicit --vocab-dir/HQT_VOCAB_DIR that lacks the
-                    # asset must not silently resolve to the stock vocab —
-                    # wrong-vocab ids would look like a model-quality bug
-                    import warnings
-                    warnings.warn(
-                        f'{n} not found under the explicit vocab dir '
-                        f'{vocab_dir!r}; falling back to the bundled copy '
-                        f'{p}', stacklevel=3)
-                return p
-    raise FileNotFoundError(
-        f'{names} not found under {vocab_dir!r} or the bundled assets '
-        f'({_BUNDLED_DIR})' if vocab_dir else
-        f'{names} not found under the bundled assets ({_BUNDLED_DIR})')
+    if vocab_dir:
+        paths = [os.path.join(vocab_dir, n) for n in names]
+        present = [p for p in paths if os.path.exists(p)]
+        if len(present) == len(names):
+            return paths
+        if present:
+            missing = [n for n, p in zip(names, paths)
+                       if not os.path.exists(p)]
+            raise FileNotFoundError(
+                f'explicit vocab dir {vocab_dir!r} holds only part of the '
+                f'paired assets {names} (missing: {missing}); vocab/merges '
+                'must come from one directory — a mixed pair yields wrong '
+                'token ids')
+        import warnings
+        warnings.warn(
+            f'{names} not found under the explicit vocab dir {vocab_dir!r}; '
+            f'falling back to the bundled copies in {_BUNDLED_DIR}',
+            stacklevel=3)
+    paths = [os.path.join(_BUNDLED_DIR, n) for n in names]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f'{missing} not found under the bundled assets ({_BUNDLED_DIR})')
+    return paths
+
+
+def _find(vocab_dir: Optional[str], name: str) -> str:
+    return _find_group(vocab_dir, name)[0]
 
 
 class HFTokenizerWrapper:
@@ -83,13 +99,13 @@ def create_tokenizer(name: str = 'bpe16k_huggingface',
         return ClipSimpleTokenizer(
             _find(vocab_dir, 'bpe_simple_vocab_16e6.txt.gz'))
     if name in ('bpe16k_huggingface', 'bpe16k'):
-        vocab = _find(vocab_dir, 'bpe-16k-vocab.json')
-        merges = _find(vocab_dir, 'bpe-16k-merges.txt')
+        vocab, merges = _find_group(vocab_dir, 'bpe-16k-vocab.json',
+                                    'bpe-16k-merges.txt')
         tok = CharBPETokenizer(vocab, merges, lowercase=lowercase,
                                dropout=dropout, unk_token='[UNK]')
     elif name in ('bpe30k_huggingface', 'bpe30k'):
-        vocab = _find(vocab_dir, 'bpe-30k-vocab.json')
-        merges = _find(vocab_dir, 'bpe-30k-merges.txt')
+        vocab, merges = _find_group(vocab_dir, 'bpe-30k-vocab.json',
+                                    'bpe-30k-merges.txt')
         tok = CharBPETokenizer(vocab, merges, lowercase=lowercase,
                                dropout=dropout, unk_token='[UNK]')
     elif name in ('wordpiece16k_huggingface', 'bert_huggingface',
@@ -97,8 +113,7 @@ def create_tokenizer(name: str = 'bpe16k_huggingface',
         vocab = _find(vocab_dir, 'bert-base-uncased-vocab.txt')
         tok = BertWordPieceTokenizer(vocab, lowercase=lowercase)
     elif name in ('bytebpe16k_huggingface',):
-        vocab = _find(vocab_dir, 'vocab.json')
-        merges = _find(vocab_dir, 'merges.txt')
+        vocab, merges = _find_group(vocab_dir, 'vocab.json', 'merges.txt')
         tok = ByteLevelBPETokenizer(vocab, merges, lowercase=lowercase,
                                     dropout=dropout)
     else:

@@ -224,7 +224,14 @@ def sample_topk_pallas(key: jax.Array, logits: jax.Array,
                        top_k=None, interpret: bool = False) -> jax.Array:
     """Drop-in fused replacement for
     `topk_topp.sample_from_logits(top_p=None)`. logits: [..., V] (any float
-    dtype — fed to the kernel unconverted) -> [...]."""
+    dtype — fed to the kernel unconverted) -> [...].
+
+    Support caveat: with top_k=None the kernel still bisects (k = real vocab
+    < padded tile), so sampling support is windowed to
+    [row_max - BISECT_RANGE, row_max] — logits more than 44 below the max
+    (probability < ~8e-20 of the max's) are truncated. Bit-parity with the
+    XLA `sample_from_logits` is guaranteed for the kept-set/top-k semantics,
+    not for arbitrary tail mass of a full softmax."""
     shape = logits.shape[:-1]
     v = logits.shape[-1]
     flat = logits.reshape(-1, v)

@@ -25,12 +25,24 @@ def build_schedule(base_lr: float,
                    min_lr: float = 0.0,
                    mode: str = 'fix',
                    start_from_zero: bool = True,
-                   world_size: Optional[int] = None):
+                   world_size: Optional[int] = None,
+                   sched_type: str = 'cosine'):
     """Returns schedule(step) -> lr (jnp scalar), matching
-    `build_scheduler` (`scheduler.py:11-59`)."""
+    `build_scheduler` (`scheduler.py:11-59`).
+
+    sched_type='const' implements the reference's *intent* — step decay
+    x0.1 at every half of the post-warmup horizon — because the reference
+    branch itself cannot run: `StepLR(optimizer, factor=..., total_iters=...)`
+    (`hqvae/optimizers/scheduler.py:31-33`) is not StepLR's signature
+    (step_size/gamma), so any config selecting it crashes the reference at
+    build time (and no configs/master YAML does). Read gamma=0.1 from
+    `factor` and the decay period from `total_iters`."""
     warmup_steps = warmup_epoch * steps_per_epoch
     buffer_steps = buffer_epoch * steps_per_epoch
     t_max = final_steps - warmup_steps - buffer_steps
+    if sched_type not in ('cosine', 'const', None):
+        raise NotImplementedError(
+            f'{sched_type} is not supported (scheduler.py:35)')
 
     if warmup_steps > 0:
         if mode == 'linear':
@@ -56,9 +68,16 @@ def build_schedule(base_lr: float,
         else:
             warm_lr = jnp.asarray(base_lr)
         cos_step = jnp.maximum(0.0, step - warmup_steps - buffer_steps)
-        cos_lr = min_lr + (base_lr - min_lr) * \
-            (1.0 + jnp.cos(jnp.pi * jnp.minimum(cos_step, t_max) / t_max)) / 2
-        return jnp.where(step <= warmup_steps + buffer_steps, warm_lr, cos_lr)
+        if sched_type == 'const':
+            # StepLR intent: gamma=0.1 ("factor") every t_max//2 steps
+            # ("total_iters"); torch StepLR has no eta_min floor
+            period = max(1.0, float(int(t_max) // 2))
+            after_lr = base_lr * 0.1 ** jnp.floor(cos_step / period)
+        else:
+            after_lr = min_lr + (base_lr - min_lr) * (1.0 + jnp.cos(
+                jnp.pi * jnp.minimum(cos_step, t_max) / t_max)) / 2
+        return jnp.where(step <= warmup_steps + buffer_steps, warm_lr,
+                         after_lr)
 
     return schedule
 

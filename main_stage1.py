@@ -212,12 +212,21 @@ def main():
         f'({global_bs}); reduce local_batch_size')
     step = start_step
     t0 = time.time()
+    # a mid-epoch resume fast-forwards the first epoch's loader past the
+    # already-consumed batches (per-epoch seed makes the order deterministic,
+    # so the resumed run sees the exact data order of an uninterrupted one)
+    skip = start_step % steps_per_epoch
+    if skip:
+        logger.line(f'resume mid-epoch: skipping {skip} consumed batches')
     for epoch in range(start_step // steps_per_epoch, 10 ** 9):
         if step >= total_steps:
             break
         loader_cfg.seed = args.seed + epoch
         for x_np, _ in PrefetchLoader(DataLoader(train_ds,
                                                  loader_cfg)):
+            if skip:
+                skip -= 1
+                continue
             x = global_batch(mesh, x_np)
             key, k = jax.random.split(key)
             state, metrics = jit_step(state, lpips_vars, x, k)

@@ -251,12 +251,22 @@ def main():
             f'dataset ({len(train_ds)} images) smaller than one global '
             f'batch ({global_bs}); reduce local_batch_size')
         step, t0 = start_step, time.time()
+        # a mid-epoch resume fast-forwards the first epoch's loader past the
+        # already-consumed batches: the per-epoch seed makes the order
+        # deterministic, so skipping start_step % steps_per_epoch batches
+        # reproduces the uninterrupted run's data order exactly
+        skip = start_step % steps_per_epoch
+        if skip:
+            logger.line(f'resume mid-epoch: skipping {skip} consumed batches')
         for epoch in range(start_step // steps_per_epoch, 10 ** 9):
             if step >= total_steps:
                 break
             loader_cfg.seed = args.seed + epoch
             for x_np, labels_np in PrefetchLoader(
                     DataLoader(train_ds, loader_cfg)):
+                if skip:
+                    skip -= 1
+                    continue
                 x = global_batch(mesh, x_np)
                 labels = global_batch(
                     mesh, np.asarray(labels_np).astype(np.int32))

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import jax
 
 from hqtransformer_tpu.checkpoint import (export_torch_state_dict,
-                                          restore_checkpoint,
+                                          latest_step, restore_checkpoint,
                                           save_checkpoint)
 from hqtransformer_tpu.config import build_twostage_config
 from hqtransformer_tpu.models.twostage import TwoStageModel
@@ -44,7 +44,20 @@ def main():
         save_checkpoint(args.to, variables, step=0)
         print(f'torch -> orbax: {args.to}')
     elif args.from_orbax:
-        variables = restore_checkpoint(args.from_orbax, template=variables)
+        # accept both accepted layouts at their LATEST step: a two-stage
+        # bundle ({'stage1','stage2'} — written by --from-torch above and by
+        # main_stage2.py's ckpt_full/), or reject training-state dirs
+        # (main_stage{1,2}.py ckpt/ holds a full TrainState, not variables)
+        # with a pointer to the exportable artifact.
+        step = latest_step(args.from_orbax)
+        restored = restore_checkpoint(args.from_orbax, step=step)
+        if not ('stage1' in restored and 'stage2' in restored):
+            raise SystemExit(
+                f'{args.from_orbax} (step {step}) is not a two-stage '
+                f'bundle (keys: {sorted(restored)}); training ckpt/ dirs '
+                'hold optimizer TrainState — pass the run\'s ckpt_full/ '
+                'instead')
+        variables = restored
         sd = {}
         sd.update(export_torch_state_dict(variables['stage1'],
                                           prefix='stage1.'))
