@@ -129,7 +129,7 @@ def main():
     # whole-run watchdog: a TPU lease that wedges MID-run (or a compile that
     # never returns) must still leave a diagnosable artifact
     def run_watchdog():
-        t = float(os.environ.get('BENCH_TOTAL_TIMEOUT_S', '3300'))
+        t = float(os.environ.get('BENCH_TOTAL_TIMEOUT_S', '5400'))
         time.sleep(t)
         _fail('run_timeout', f'bench did not finish within {t:.0f}s')
 
@@ -318,7 +318,52 @@ def main():
         except Exception as e:                      # pragma: no cover
             print(f'phase section skipped: {e!r}', file=sys.stderr)
 
+    # int8 serving mode: calibrated int8 KV cache (halves the attention DMA
+    # floor) + calibrated A8W8 stage-1 decode. Quality evidence:
+    # scripts/serving_quality_delta.py (pixel-Frechet deltas vs the float
+    # path on a trained model, committed in docs/serving.md). Best-effort —
+    # never allowed to cost the primary metric.
+    int8 = None
+    if os.environ.get('BENCH_SKIP_INT8') != '1':
+        try:
+            cal_bs = min(batch, 256)
+            key, k_cal = jax.random.split(key)
+            v_q = model.calibrate_kv_scales(variables, k_cal,
+                                            labels[:cal_bs], params=sp)
+            ct = codes[0][:128].reshape(-1, model.top_res, model.top_res)
+            from hqtransformer_tpu.models.stage2.hierarchical import \
+                cells_to_raster
+            r = model.top_res * model.cell_win
+            cb = cells_to_raster(codes[1][:128], model.top_res,
+                                 model.cell_win).reshape(-1, r, r)
+            os.environ['HQT_INT8_DECODE'] = '1'
+            v_q = model.calibrate_int8_decode(v_q, ct, cb)
+            sampler_q = model.make_pipelined_sampler(
+                params=sp, cache_dtype=jnp.int8, n_segments=4,
+                attention=os.environ.get('BENCH_ATTENTION', 'auto'))
+            key, k = jax.random.split(key)
+            codes_q, px = sampler_q(v_q, k, labels, None)
+            force(px)
+            t_q = []
+            for _ in range(n_loops):
+                key, k = jax.random.split(key)
+                t0 = time.perf_counter()
+                codes_q, px = sampler_q(v_q, k, labels, codes_q)
+                force(px)
+                t_q.append(time.perf_counter() - t0)
+            sps_q = batch / min(t_q)
+            int8 = {'samples_per_sec': round(sps_q, 3),
+                    'vs_bf16': round(sps_q / samples_per_sec, 3),
+                    'vs_baseline': round(sps_q / BASELINE_SAMPLES_PER_SEC,
+                                         3)}
+        except Exception as e:                      # pragma: no cover
+            print(f'int8 section skipped: {e!r}', file=sys.stderr)
+        finally:
+            os.environ['HQT_INT8_DECODE'] = '0'
+
     extra = {}
+    if int8 is not None:
+        extra['int8_serving'] = int8
     if ref_ms_per_sample is not None:
         extra['ms_per_sample_bs50_reference_protocol'] = round(
             ref_ms_per_sample, 3)

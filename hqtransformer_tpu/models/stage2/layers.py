@@ -273,9 +273,34 @@ class SelfAttention(nn.Module):
         return self.proj(_merge_heads(y)), k_caches, v_caches
 
 
+def _quantize_rows(x: jax.Array, inv_scale: jax.Array) -> jax.Array:
+    """Per-channel symmetric int8 quantization: x [..., D], inv_scale [D]."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv_scale),
+                    -127, 127).astype(jnp.int8)
+
+
 class _PackedStepMixin:
     """Single-token decode against packed [L, T, B, D] caches via the fused
-    Pallas attention kernel (TPU) or its XLA oracle (other backends)."""
+    Pallas attention kernel (TPU) or its XLA oracle (other backends).
+
+    int8 KV cache mode (cache dtype int8): K/V rows are per-channel
+    symmetric-quantized at write time with calibrated scales from the
+    'kv_scales' collection (see twostage.calibrate_kv_scales). Dequant is
+    folded entirely outside the attention math — K's scales into q (scores
+    are a q·K channel sum) and V's into the attention output (a weighted sum
+    of V rows) — so the kernel stays scale-free and the cache HBM traffic is
+    exactly half the bf16 bytes."""
+
+    def _kv_scales(self, C: int):
+        """Calibrated per-channel scales ([C] each) for the int8 KV cache;
+        requires calibration (there is no safe default for abs-max scales)."""
+        if not self.has_variable('kv_scales', 'k'):
+            raise ValueError(
+                'int8 KV cache needs calibrated scales: run '
+                'calibrate_kv_scales() and pass its \'kv_scales\' '
+                'collection in variables')
+        return (self.get_variable('kv_scales', 'k'),
+                self.get_variable('kv_scales', 'v'))
 
     def step_packed(self, x: jax.Array, k_caches: jax.Array,
                     v_caches: jax.Array, layer_idx: int, pos,
@@ -288,6 +313,12 @@ class _PackedStepMixin:
         assert T_new == 1, 'packed path is single-token decode only'
         q, k_new, v_new = jnp.split(self._fused_qkv_flat(x)[:, 0, :], 3,
                                     axis=-1)
+        v_scale = None
+        if k_caches.dtype == jnp.int8:
+            k_scale, v_scale = self._kv_scales(C)
+            q = q * k_scale.astype(q.dtype)
+            k_new = _quantize_rows(k_new, 1.0 / k_scale)
+            v_new = _quantize_rows(v_new, 1.0 / v_scale)
         if jax.default_backend() == 'tpu':
             y, k_caches, v_caches = decode_attention_step(
                 q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
@@ -305,6 +336,8 @@ class _PackedStepMixin:
             y, k_caches, v_caches = decode_attention_step_xla(
                 q, k_new, v_new, k_caches, v_caches, layer_idx, pos,
                 self.n_heads)
+        if v_scale is not None:
+            y = y * v_scale.astype(y.dtype)
         return self.proj(y[:, None, :]), k_caches, v_caches
 
     def prefill_packed(self, x: jax.Array, k_caches: jax.Array,
@@ -315,12 +348,17 @@ class _PackedStepMixin:
         empty — the conditioning-prefix prefill)."""
         B, T_new, C = x.shape
         q, k_new, v_new = jnp.split(self._fused_qkv_flat(x), 3, axis=-1)
-        rows = k_new.transpose(1, 0, 2)                 # [T_new, B, C]
+        if k_caches.dtype == jnp.int8:
+            k_scale, v_scale = self._kv_scales(C)
+            k_rows = _quantize_rows(k_new, 1.0 / k_scale)
+            v_rows = _quantize_rows(v_new, 1.0 / v_scale)
+        else:
+            k_rows = k_new.astype(k_caches.dtype)
+            v_rows = v_new.astype(v_caches.dtype)
         k_caches = jax.lax.dynamic_update_slice(
-            k_caches, rows[None].astype(k_caches.dtype), (layer_idx, 0, 0, 0))
+            k_caches, k_rows.transpose(1, 0, 2)[None], (layer_idx, 0, 0, 0))
         v_caches = jax.lax.dynamic_update_slice(
-            v_caches, v_new.transpose(1, 0, 2)[None].astype(v_caches.dtype),
-            (layer_idx, 0, 0, 0))
+            v_caches, v_rows.transpose(1, 0, 2)[None], (layer_idx, 0, 0, 0))
         if self_mask is None:
             self_mask = jnp.tril(jnp.ones((T_new, T_new), bool))
         y = masked_attention(_split_heads(q, self.n_heads),
@@ -332,6 +370,7 @@ class _PackedStepMixin:
 # mix the packed decode into SelfAttention (kept separate for readability)
 SelfAttention.step_packed = _PackedStepMixin.step_packed
 SelfAttention.prefill_packed = _PackedStepMixin.prefill_packed
+SelfAttention._kv_scales = _PackedStepMixin._kv_scales
 
 
 class CrossAttention(nn.Module):

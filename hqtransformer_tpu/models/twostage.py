@@ -218,6 +218,46 @@ class TwoStageModel:
         return {**variables,
                 'stage1': {**variables['stage1'], 'act_scales': scales}}
 
+    def calibrate_kv_scales(self, variables: Dict, key, labels,
+                            params: SamplingParams = SamplingParams(),
+                            max_seq_len: Optional[int] = None,
+                            margin: float = 1.0) -> Dict:
+        """Per-channel scales for the int8 KV serving cache: runs one full
+        (non-quantized) sampling pass on a representative batch, reduces the
+        final KV caches to per-layer-per-channel absmax, and returns
+        `variables` with the stage-2 tree extended by the 'kv_scales'
+        collection ({'blocks_<l>': {'attn': {'k': [D], 'v': [D]}}}).
+
+        With scales present, samplers built with cache_dtype=jnp.int8 store
+        the spatial KV cache in int8 — halving the attention DMA floor —
+        with all dequant folded outside the kernel (K's scales into q, V's
+        into the attention output; see layers._PackedStepMixin). Standard
+        post-training quantization: K/V values outside the calibrated range
+        saturate. Call on more batches and merge with
+        jax.tree.map(jnp.maximum, ...) to widen. No reference analogue (its
+        sampling attention runs fp16 autocast, `hierarchical_ar.py:445`)."""
+        assert isinstance(self.stage2, HierarchicalGPT)
+        Ttop = max_seq_len or self.top_res * self.top_res
+        sampler = make_hierarchical_sampler(self.stage2, Ttop, params,
+                                            _return_caches=True)
+        _, (kc, vc) = sampler(variables['stage2'], key, labels)
+
+        def channel_absmax(c):
+            if c.ndim == 4:      # packed [L, T, B, D]
+                m = jnp.max(jnp.abs(c.astype(jnp.float32)), axis=(1, 2))
+            else:                # einsum [L, B, nh, T, hd]
+                L, B, nh, T, hd = c.shape
+                m = jnp.max(jnp.abs(c.astype(jnp.float32)),
+                            axis=(1, 3)).reshape(L, nh * hd)
+            return jnp.maximum(m, 1e-6) / 127.0 * margin   # [L, D]
+
+        ks, vs = channel_absmax(kc), channel_absmax(vc)
+        n_layers = self.stage2.hparams.n_layers
+        scales = {f'blocks_{i}': {'attn': {'k': ks[i], 'v': vs[i]}}
+                  for i in range(n_layers)}
+        return {**variables,
+                'stage2': {**variables['stage2'], 'kv_scales': scales}}
+
     # ------------------------------------------------------------- sampling
     def make_pixel_sampler(self, max_seq_len: Optional[int] = None,
                            params: SamplingParams = SamplingParams(),

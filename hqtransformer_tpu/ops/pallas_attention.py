@@ -122,6 +122,13 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
     parT = (jax.lax.broadcasted_iota(jnp.int32, (n_heads, D), 1) // hd ==
             jax.lax.broadcasted_iota(jnp.int32, (n_heads, D), 0))
 
+    # int8 caches (per-channel-quantized KV): score/AV math runs in the q
+    # dtype — K/V convert on read; the dequant scales are folded OUTSIDE the
+    # kernel (K's into q, V's into the output), so the kernel stays
+    # scale-free and the cache DMA is exactly half the bf16 bytes
+    quant = kS.dtype == jnp.int8
+    cdt = q_ref.dtype if quant else kS.dtype
+
     def compute(cur: int):
         """Attention for this tile from scratch slot `cur` (static)."""
         # prefetch the NEXT tile into the other slot, then wait for ours
@@ -134,14 +141,14 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
         q = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
         kSc, vSc = kS.at[cur], vS.at[cur]
         # per-head scores: elementwise q (*) K, head-sliced sums on the MXU
-        P = q[None] * kSc[:]                               # [T, BT, D]
+        P = q[None] * kSc[:].astype(cdt)                   # [T, BT, D]
         s = jnp.dot(P.reshape(T * BT, D), par.astype(P.dtype),
                     preferred_element_type=jnp.float32)    # [T*BT, nh]
         s = s.reshape(T, BT, n_heads)
         t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, BT, n_heads), 0)
         s = jnp.where(t_ids < pos, s, NEG_INF)             # STRICT past mask
         # the new token's own score, computed off the input block directly
-        s_new = jnp.dot((q * kn_ref[:]).reshape(BT, D),
+        s_new = jnp.dot((q * kn_ref[:].astype(cdt)).reshape(BT, D),
                         par.astype(q.dtype),
                         preferred_element_type=jnp.float32)  # [BT, nh]
 
@@ -153,17 +160,18 @@ def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
         att_new = e_new / denom
 
         # AV: broadcast att across each head's slice (att @ par^T), multiply
-        # by V in the cache dtype, accumulate f32 (the product rounding
+        # by V in the compute dtype, accumulate f32 (the product rounding
         # matches the reference's fp16-autocast attention)
-        A = jnp.dot(att.reshape(T * BT, n_heads).astype(vS.dtype),
-                    parT.astype(vS.dtype),
+        A = jnp.dot(att.reshape(T * BT, n_heads).astype(cdt),
+                    parT.astype(cdt),
                     preferred_element_type=jnp.float32
-                    ).astype(vS.dtype)                     # [T*BT, D]
-        prod = (A.reshape(T, BT, D) * vSc[:]).astype(jnp.float32)
+                    ).astype(cdt)                          # [T*BT, D]
+        prod = (A.reshape(T, BT, D) * vSc[:].astype(cdt)
+                ).astype(jnp.float32)
         y = jnp.sum(prod, axis=0)
-        A_new = jnp.dot(att_new.astype(vS.dtype), parT.astype(vS.dtype),
-                        preferred_element_type=jnp.float32).astype(vS.dtype)
-        y = y + (A_new * vn_ref[:]).astype(jnp.float32)
+        A_new = jnp.dot(att_new.astype(cdt), parT.astype(cdt),
+                        preferred_element_type=jnp.float32).astype(cdt)
+        y = y + (A_new * vn_ref[:].astype(cdt)).astype(jnp.float32)
         y_ref[:] = y.astype(y_ref.dtype)
 
     # static slot selection (dynamic vector loads at a traced leading index
@@ -241,6 +249,18 @@ def decode_attention_step(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    if k_cache.dtype == jnp.int8:
+        # int8 caches: the caller pre-quantizes the new K/V rows (per-channel
+        # scales folded into q / the output outside this kernel); q keeps its
+        # float dtype for the score/AV math
+        assert k_new.dtype == jnp.int8 and v_new.dtype == jnp.int8, (
+            'int8 KV cache needs pre-quantized k_new/v_new '
+            f'(got {k_new.dtype}/{v_new.dtype})')
+        q_in, kn_in, vn_in = q, k_new, v_new
+    else:
+        q_in = q.astype(k_cache.dtype)
+        kn_in = k_new.astype(k_cache.dtype)
+        vn_in = v_new.astype(v_cache.dtype)
     y, kc, vc = pl.pallas_call(
         functools.partial(_kernel, n_heads=n_heads),
         grid_spec=grid_spec,
@@ -253,8 +273,7 @@ def decode_attention_step(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scalars, q.astype(k_cache.dtype), k_new.astype(k_cache.dtype),
-      v_new.astype(v_cache.dtype), k_cache, v_cache)
+    )(scalars, q_in, kn_in, vn_in, k_cache, v_cache)
     return y.astype(q.dtype), kc, vc
 
 

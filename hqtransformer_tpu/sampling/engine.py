@@ -185,7 +185,8 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
                               use_given_top: bool = False,
                               cache_dtype=None,
                               n_segments: int = 2,
-                              attention: str = 'auto'):
+                              attention: str = 'auto',
+                              _return_caches: bool = False):
     """Build a jitted sampler for the 2-level model.
 
     Returns fn(variables, key, labels[, given_top_codes])
@@ -229,6 +230,12 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
         sos = model.apply(variables, B, labels,
                           method=HierarchicalGPT.sos_tokens)
         cdtype = cache_dtype or sos.dtype
+        if cdtype == jnp.int8:
+            # int8 KV cache: quantized write + scale-folded dequant live
+            # only on the packed path (layers._PackedStepMixin)
+            assert packed, ("int8 KV caches need the packed cache layout; "
+                            "pass attention='packed' (the 'auto' heuristic "
+                            "declined it for this backend/shape)")
         t0_max = sos_len + seg_bounds[0][1] - 1
 
         def packed_t(t):
@@ -307,6 +314,11 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
         codes_t = jnp.concatenate([top0[:, None], tops.T], axis=1)
         codes_b = jnp.concatenate([bot0[:, None, :],
                                    bots.transpose(1, 0, 2)], axis=1)
+        if _return_caches:
+            # calibration hook: the final KV caches hold every K/V row the
+            # run produced (twostage.calibrate_kv_scales reduces them to
+            # per-channel int8 scales)
+            return (codes_t, codes_b), (carry[0], carry[1])
         return codes_t, codes_b
 
     return jax.jit(sample)

@@ -92,4 +92,6 @@ def build_schedule_from_config(opt_cfg, steps_per_epoch: int,
                           buffer_epoch=w.buffer_epoch,
                           multiplier=w.multiplier, min_lr=w.min_lr,
                           mode=w.mode, start_from_zero=w.start_from_zero,
-                          world_size=world_size)
+                          world_size=world_size,
+                          sched_type=getattr(opt_cfg, 'sched_type',
+                                             'cosine'))

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Machine-checkable family benchmark: run `measure_throughput.py` over the
+reference's released-checkpoint model family (the exact models of its FID
+table, `/root/reference/checkpoints/README.md:6-8`, plus the 3-level
+flagship and the FFHQ/CC15M variants) and write the results to PERF.json
+at the repo root — the artifact form of the README's family table.
+
+    python scripts/bench_family.py [--rows l12,l24] [--out PERF.json]
+    python scripts/bench_family.py --samples-per-loop 100   # CI smoke
+
+Each PERF.json entry: {"model", "config", "batch", "cond", "code_levels",
+"ms_per_sample", "ar_ms", "decode_ms", "samples_per_sec"}. Serialize runs
+(one chip; concurrent jobs queue and distort timings).
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ROWS = {
+    # name: (config, batch, cond, code_levels)
+    'l12': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
+            2048, 'cls', 2),
+    'l24': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
+            1024, 'cls', 2),
+    'l42': ('configs/imagenet/stage2/hqtransformer-l42-top8x8.yaml',
+            384, 'cls', 2),
+    'l12-level3': ('configs/imagenet/stage2/'
+                   'hqtransformer-l12-top8x8-level3.yaml', 256, 'cls', 3),
+    'l24-ffhq': ('configs/ffhq/stage2/hqtransformer-l24-ffhq.yaml',
+                 1024, 'cls', 2),
+    'l12-cc15m-txt': ('configs/cc15m/stage2/hqtransformer-l12-cc15m.yaml',
+                      1024, 'txt', 2),
+}
+
+SUMMARY_RE = re.compile(
+    r'bs(\d+) \| ([\d.]+) ms/sample \(ar: ([\d.]+), decode: ([\d.]+)\)')
+
+
+def run_row(name, config, batch, cond, code_levels, samples_per_loop,
+            n_loop):
+    argv = [sys.executable, 'measure_throughput.py',
+            f'model_path={config}', f'batch_size={batch}', f'cond={cond}',
+            f'code_levels={code_levels}', f'n_loop={n_loop}',
+            f'samples_per_loop={samples_per_loop}']
+    t0 = time.time()
+    p = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
+                       timeout=3600)
+    if p.returncode != 0:
+        return {'model': name, 'config': config, 'batch': batch,
+                'error': f'rc={p.returncode}',
+                'detail': (p.stderr or p.stdout)[-500:]}
+    m = None
+    for line in p.stdout.splitlines():
+        m = SUMMARY_RE.search(line) or m
+    if m is None:
+        return {'model': name, 'config': config, 'batch': batch,
+                'error': 'no summary line', 'detail': p.stdout[-500:]}
+    ms = float(m.group(2))
+    row = {'model': name, 'config': config, 'batch': batch, 'cond': cond,
+           'code_levels': code_levels, 'ms_per_sample': ms,
+           'ar_ms': float(m.group(3)), 'decode_ms': float(m.group(4)),
+           'samples_per_sec': round(1000.0 / ms, 1),
+           'wall_s': round(time.time() - t0, 1)}
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--rows', type=str, default=','.join(ROWS))
+    ap.add_argument('--out', type=str, default=os.path.join(REPO,
+                                                            'PERF.json'))
+    ap.add_argument('--samples-per-loop', type=int, default=1000)
+    ap.add_argument('--n-loop', type=int, default=4)
+    ap.add_argument('--batch-override', type=int, default=0,
+                    help='override every row batch (CI smoke on CPU)')
+    args = ap.parse_args()
+
+    results = []
+    for name in args.rows.split(','):
+        name = name.strip()
+        if name not in ROWS:
+            raise SystemExit(f'unknown row {name!r}; known: {list(ROWS)}')
+        config, batch, cond, levels = ROWS[name]
+        batch = args.batch_override or batch
+        print(f'[{name}] {config} bs{batch} {cond} L{levels}..', flush=True)
+        row = run_row(name, config, batch, cond, levels,
+                      args.samples_per_loop, args.n_loop)
+        print(f'[{name}] {json.dumps(row)}', flush=True)
+        results.append(row)
+
+    # merge into an existing PERF.json so partial refreshes keep other rows
+    merged = {}
+    if os.path.exists(args.out):
+        try:
+            for r in json.load(open(args.out))['rows']:
+                merged[r['model']] = r
+        except Exception:
+            pass
+    for r in results:
+        merged[r['model']] = r
+    out = {'protocol': 'measure_throughput.py (reference protocol: '
+                       'batches of batch_size, ~samples_per_loop samples '
+                       'per loop, warmup discarded, AR + decode counted)',
+           'device': 'tpu v5e (1 chip)',
+           'rows': list(merged.values())}
+    with open(args.out, 'w') as f:
+        json.dump(out, f, indent=1)
+        f.write('\n')
+    print(f'wrote {args.out} ({len(merged)} rows)')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 TPU measurement queue — run ONE at a time on the single chip
+# (concurrent jobs queue on the relay and distort timings; a killed TPU
+# process can wedge the device lease). Usage:
+#   bash scripts/tpu_queue_r4.sh [outdir]   # default /tmp/tpu_r4
+set -u
+OUT=${1:-/tmp/tpu_r4}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/queue.log"
+  timeout "$t" "$@" > "$OUT/$name.log" 2>&1
+  echo "rc=$? $name" | tee -a "$OUT/queue.log"
+  tail -3 "$OUT/$name.log" | tee -a "$OUT/queue.log"
+}
+
+# 0) 60s smoke: is the chip usable? (bounded; do NOT proceed into big
+#    compiles against a wedged lease)
+run smoke 90 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+print(float(jnp.sum(jnp.ones((128, 128)))))"
+grep -q "rc=0 smoke" "$OUT/queue.log" || { echo "chip not usable"; exit 1; }
+
+# 1) the driver-contract bench, full (bf16 + bs50 + phases + int8 section)
+run bench 5400 python bench.py
+
+# 2) int8 gemm probe (decides the int8 depth-chain lever)
+run int8_gemm 1800 python scripts/microbench_int8_gemm.py
+
+# 3) family table -> PERF.json (l12 first; each row is its own compile)
+run family_l12 3600 python scripts/bench_family.py --rows l12
+run family_l24 3600 python scripts/bench_family.py --rows l24
+run family_l42 3600 python scripts/bench_family.py --rows l42
+run family_l3  3600 python scripts/bench_family.py --rows l12-level3
+run family_ffhq 3600 python scripts/bench_family.py --rows l24-ffhq
+run family_txt 3600 python scripts/bench_family.py --rows l12-cc15m-txt
+
+# 4) int8-decode static e2e at flagship shapes (VERDICT #2)
+run int8_decode 3600 python scripts/measure_int8_decode.py --batch 512
+
+# 5) per-phase ablations with the int8 KV cache off/on (re-derive deltas)
+for mode in base noattn attnwrite nosample nodepth2; do
+  run ablate_$mode 2400 env AB_MODE=$mode python scripts/ablate_ar.py
+done
+
+echo "queue done ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
