@@ -81,15 +81,23 @@ cfg = build_twostage_config('configs/imagenet/stage2/hqtransformer-l12-top8x8.ya
 model = TwoStageModel(cfg, dtype=jnp.bfloat16)
 variables = model.init_variables(jax.random.PRNGKey(0))
 variables = serving_bf16_params(variables)
-v2 = variables['stage2']
 sp = SamplingParams(top_k_top=2048, top_k_bot=2048, temperature_top=0.95, temperature_bot=0.95)
 labels = jnp.arange(B, dtype=jnp.int32) % 1000
 key = jax.random.PRNGKey(1)
-s = make_hierarchical_sampler(model.stage2, 64, sp, cache_dtype=jnp.bfloat16,
+# AB_KV=int8 stores the spatial KV cache int8 (calibrated per-channel
+# scales; see twostage.calibrate_kv_scales) — ablate the DMA-floor lever
+KV = os.environ.get('AB_KV', 'bf16')
+cache_dtype = jnp.bfloat16
+if KV == 'int8':
+    variables = model.calibrate_kv_scales(
+        variables, jax.random.PRNGKey(5), labels[:256], params=sp)
+    cache_dtype = jnp.int8
+v2 = variables['stage2']
+s = make_hierarchical_sampler(model.stage2, 64, sp, cache_dtype=cache_dtype,
                               n_segments=4, attention='packed')
 c = s(v2, key, labels); jax.block_until_ready(c); float(jnp.sum(c[0][:1,:1].astype(jnp.float32)))
 ts = []
 for _ in range(3):
     t0 = time.perf_counter(); c = s(v2, key, labels); jax.block_until_ready(c)
     float(jnp.sum(c[0][:1,:1].astype(jnp.float32))); ts.append(time.perf_counter() - t0)
-print(f'AR delta mode={MODE}: {min(ts)/B*1000:.4f} ms/sample  {min(ts)*1000/63:.2f} ms/step')
+print(f'AR delta mode={MODE} kv={KV}: {min(ts)/B*1000:.4f} ms/sample  {min(ts)*1000/63:.2f} ms/step')

@@ -41,7 +41,8 @@ run family_txt 3600 python scripts/bench_family.py --rows l12-cc15m-txt
 # 4) int8-decode static e2e at flagship shapes (VERDICT #2)
 run int8_decode 3600 python scripts/measure_int8_decode.py --batch 512
 
-# 5) per-phase ablations with the int8 KV cache off/on (re-derive deltas)
+# 5) per-phase ablations + the int8-KV delta (re-derive deltas)
+run ablate_int8kv 2400 env AB_KV=int8 python scripts/ablate_ar.py
 for mode in base noattn attnwrite nosample nodepth2; do
   run ablate_$mode 2400 env AB_MODE=$mode python scripts/ablate_ar.py
 done

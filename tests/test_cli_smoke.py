@@ -15,6 +15,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TINY1 = os.path.join(REPO, 'configs', 'tiny', 'stage1-tiny.yaml')
 TINY2 = os.path.join(REPO, 'configs', 'tiny', 'stage2-tiny.yaml')
 
+# each CLI subprocess pays ~1-3 min of imports + jit compiles on this
+# 1-core box; the default suite keeps TWO subprocess guards
+# (test_e2e_pipeline's sampling->stats->FID pipeline and
+# test_main_stage2_smoke's trainer) and gates the rest behind
+# HQT_RUN_SLOW=1 to stay within the ~20-min suite budget
+slow = pytest.mark.skipif(os.environ.get('HQT_RUN_SLOW') != '1',
+                          reason='CLI smoke gated; set HQT_RUN_SLOW=1')
+
 
 def _run(argv, timeout=900):
     env = dict(os.environ)
@@ -41,6 +49,7 @@ def image_root(tmp_path_factory):
     return root
 
 
+@slow
 def test_train_resume_eval_stage1(tmp_path, image_root):
     res = tmp_path / 'runs'
     _run(['main_stage1.py', '-c', TINY1, '-r', str(res),
@@ -78,6 +87,7 @@ def _txt_tiny_config(tmp_path):
     return txt_cfg
 
 
+@slow
 def test_txt2img_cli_smoke(tmp_path):
     caps = tmp_path / 'caps.txt'
     caps.write_text('a red square on a table\na small blue bird\n')
@@ -91,6 +101,7 @@ def test_txt2img_cli_smoke(tmp_path):
     assert list(out.glob('samples_*.pkl'))
 
 
+@slow
 def test_measure_throughput_smoke(tmp_path):
     """The throughput harness doubles as the reference's sampling smoke
     test (SURVEY.md §4, `measure_throughput/__main__.py:25-31` builds from
