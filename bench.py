@@ -135,6 +135,7 @@ def main():
 
     threading.Thread(target=run_watchdog, daemon=True).start()
     batch = int(os.environ.get('BENCH_BATCH', '2048'))
+    n_seg = int(os.environ.get('BENCH_SEGMENTS', '4'))
     n_loops = int(os.environ.get('BENCH_LOOPS', '3'))
 
     cfg = build_twostage_config(CONFIG)
@@ -149,7 +150,7 @@ def main():
                         temperature_top=0.95, temperature_bot=0.95)
     sampler = model.make_pipelined_sampler(params=sp,
                                            cache_dtype=jnp.bfloat16,
-                                           n_segments=4)
+                                           n_segments=n_seg)
     labels = jnp.arange(batch, dtype=jnp.int32) % 1000
     key = jax.random.PRNGKey(1)
 
@@ -239,7 +240,7 @@ def main():
             # decomposition and the probe tracks BENCH_CONFIG overrides
             ar = make_hierarchical_sampler(
                 model.stage2, max_seq_len=model.top_res * model.top_res,
-                params=sp, cache_dtype=jnp.bfloat16, n_segments=4)
+                params=sp, cache_dtype=jnp.bfloat16, n_segments=n_seg)
             v2 = variables['stage2']
             c = ar(v2, key, labels)
             jax.block_until_ready(c)
@@ -339,7 +340,7 @@ def main():
             os.environ['HQT_INT8_DECODE'] = '1'
             v_q = model.calibrate_int8_decode(v_q, ct, cb)
             sampler_q = model.make_pipelined_sampler(
-                params=sp, cache_dtype=jnp.int8, n_segments=4,
+                params=sp, cache_dtype=jnp.int8, n_segments=n_seg,
                 attention=os.environ.get('BENCH_ATTENTION', 'auto'))
             key, k = jax.random.split(key)
             codes_q, px = sampler_q(v_q, k, labels, None)
