@@ -339,6 +339,15 @@ def main():
                                  model.cell_win).reshape(-1, r, r)
             os.environ['HQT_INT8_DECODE'] = '1'
             v_q = model.calibrate_int8_decode(v_q, ct, cb)
+            if os.environ.get('BENCH_INT8_STAGE2') == '1':
+                # also run the depth-chain gemms A8W8 (quality: the
+                # int8_max row of scripts/serving_quality_delta.py)
+                os.environ['HQT_INT8_STAGE2'] = '1'
+                n_cal = min(128, batch)
+                v_q = model.calibrate_stage2_int8(
+                    v_q, codes[0][:n_cal], cells_to_raster(
+                        codes[1][:n_cal], model.top_res,
+                        model.cell_win).reshape(n_cal, -1), labels[:n_cal])
             sampler_q = model.make_pipelined_sampler(
                 params=sp, cache_dtype=jnp.int8, n_segments=n_seg,
                 attention=os.environ.get('BENCH_ATTENTION', 'auto'))
@@ -361,6 +370,7 @@ def main():
             print(f'int8 section skipped: {e!r}', file=sys.stderr)
         finally:
             os.environ['HQT_INT8_DECODE'] = '0'
+            os.environ['HQT_INT8_STAGE2'] = '0'
 
     extra = {}
     if int8 is not None:

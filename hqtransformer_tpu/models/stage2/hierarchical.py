@@ -32,8 +32,9 @@ from flax import linen as nn
 
 from ...config import (ModelTypeSpec, Stage2Hparams, parse_embedding_type)
 from ...ops import masks as M
-from .layers import (Block, _merge_heads, _split_heads,
-                     init_kv_cache, masked_attention)
+from .layers import (Block, QuantizableDense, _merge_heads,
+                     _split_heads, init_kv_cache,
+                     masked_attention)
 
 
 def _normal_init(std=0.02):
@@ -235,8 +236,11 @@ class HierarchicalGPT(nn.Module):
         self.head_top = nn.Dense(self.vocab_size_top, use_bias=False,
                                  name='head_top', dtype=self.dtype)
         self.ln_bot = nn.LayerNorm(epsilon=1e-5, name='ln_bot', dtype=self.dtype)
-        self.head_bot = nn.Dense(self.vocab_size_bot, use_bias=False,
-                                 name='head_bot', dtype=self.dtype)
+        # QuantizableDense: head_bot is part of the depth-second chain
+        # (the int8_stage2_scope hot path); identical params to nn.Dense
+        self.head_bot = QuantizableDense(self.vocab_size_bot,
+                                         use_bias=False, name='head_bot',
+                                         dtype=self.dtype)
 
 
     # ------------------------------------------------------------ embedding

@@ -28,6 +28,98 @@ from flax import linen as nn
 
 NEG_INF = -1e10
 
+# ---------------------------------------------------------------------------
+# Opt-in A8W8 int8 gemms for the depth-second chain — the single largest AR
+# phase (14.5 ms/step at the 142 TF/s bf16 gemm ceiling, scripts/ablate_ar).
+# Same PTQ scheme as the stage-1 QuantizableConv (models/stage1/layers.py):
+# per-tensor CALIBRATED activation scales ('act_scales' collection, via
+# twostage.calibrate_stage2_int8), per-output-channel weight scales, int32
+# MXU accumulation. Engages ONLY inside `int8_stage2_scope()` (the engine
+# enters it around the depth-second decode) under HQT_INT8_STAGE2=1 for
+# bf16 activations — training, parity paths, spatial blocks, and the
+# depth-first pass never see it. No reference analogue (fp16 autocast,
+# `hierarchical_ar.py:445`); quality measured by
+# scripts/serving_quality_delta.py.
+# ---------------------------------------------------------------------------
+import contextlib
+import os as _os
+
+_INT8_STAGE2_SCOPE = [False]
+
+
+@contextlib.contextmanager
+def int8_stage2_scope():
+    prev = _INT8_STAGE2_SCOPE[0]
+    _INT8_STAGE2_SCOPE[0] = True
+    try:
+        yield
+    finally:
+        _INT8_STAGE2_SCOPE[0] = prev
+
+
+def _int8_dense_active(x) -> bool:
+    return (_INT8_STAGE2_SCOPE[0]
+            and _os.environ.get('HQT_INT8_STAGE2') == '1'
+            and x.dtype == jnp.bfloat16)
+
+
+def _quant_per_tensor(x, scale):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+
+
+def _quant_weight_cols(w):
+    """Per-output-channel symmetric int8: w [I, O] -> (wq, w_scale [O])."""
+    wf = w.astype(jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(wf / w_scale), -127, 127).astype(jnp.int8)
+    return wq, w_scale
+
+
+def _int8_matmul(xq, wq, out_scale, bias, out_dtype):
+    """[..., I] int8 @ [I, O] int8 -> int32 on the MXU, dequantized."""
+    y = jax.lax.dot_general(xq.reshape(-1, xq.shape[-1]), wq,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * out_scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.reshape(*xq.shape[:-1], wq.shape[-1]).astype(out_dtype)
+
+
+class QuantizableDense(nn.Dense):
+    """nn.Dense with the scoped A8W8 path (identical params/checkpoints).
+
+    The activation scale is STATIC (calibrated): dynamic per-call max
+    reductions are what limited the dynamic int8 conv decode to 1.07x e2e.
+    Calibration sows input absmax into 'int8_calib' (reduce=max across
+    calls), converted by `int8_scales_from_calib` into 'act_scales'."""
+
+    @nn.compact
+    def __call__(self, x):
+        from ..stage1.layers import _INT8_CALIB_SCOPE
+        if _INT8_CALIB_SCOPE[0]:
+            self.sow('int8_calib', 'absmax',
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+        if not _int8_dense_active(x):
+            return super().__call__(x)
+        if not self.has_variable('act_scales', 'scale'):
+            raise ValueError(
+                'HQT_INT8_STAGE2=1 inside int8_stage2_scope needs calibrated '
+                'activation scales: run twostage.calibrate_stage2_int8() and '
+                'pass its variables')
+        # materialize the standard nn.Dense params (identical names/shapes)
+        _ = super().__call__(x[..., :1, :])
+        kernel = self.variables['params']['kernel']
+        bias = self.variables['params'].get('bias')
+        x_scale = self.get_variable('act_scales',
+                                    'scale').astype(jnp.float32)
+        wq, w_scale = _quant_weight_cols(kernel)   # hoisted out of the scan
+        xq = _quant_per_tensor(x, x_scale)
+        return _int8_matmul(xq, wq, x_scale * w_scale, bias, x.dtype)
+
 
 def gelu(x: jax.Array, use_approx: bool = False) -> jax.Array:
     """GELU; approx variant is x*sigmoid(1.702x) (`layers.py:14-23`).
@@ -94,10 +186,10 @@ class SelfAttention(nn.Module):
 
     def setup(self):
         d = dict(use_bias=self.attn_bias, dtype=self.dtype)
-        self.query = nn.Dense(self.embed_dim, name='query', **d)
-        self.key = nn.Dense(self.embed_dim, name='key', **d)
-        self.value = nn.Dense(self.embed_dim, name='value', **d)
-        self.proj = nn.Dense(self.embed_dim, name='proj', **d)
+        self.query = QuantizableDense(self.embed_dim, name='query', **d)
+        self.key = QuantizableDense(self.embed_dim, name='key', **d)
+        self.value = QuantizableDense(self.embed_dim, name='value', **d)
+        self.proj = QuantizableDense(self.embed_dim, name='proj', **d)
         self.resid_drop = nn.Dropout(self.resid_pdrop)
 
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
@@ -176,17 +268,29 @@ class SelfAttention(nn.Module):
 
     def _fused_qkv_flat(self, x):
         """One [C, 3C] gemm (loop-invariant weight concat, hoisted out of
-        the decode scan) -> [B, T, 3C]."""
+        the decode scan) -> [B, T, 3C]. Inside `int8_stage2_scope` (with
+        HQT_INT8_STAGE2=1 and calibrated scales) the gemm runs A8W8: the
+        activation is the same ln1 output the `query` Dense sees in the
+        full-sequence path, so its calibrated scale applies."""
         w_qkv = jnp.concatenate([self.query.variables['params']['kernel'],
                                  self.key.variables['params']['kernel'],
                                  self.value.variables['params']['kernel']],
                                 axis=1)
-        qkv = jnp.dot(x, w_qkv.astype(x.dtype))
+        b_qkv = None
         if self.attn_bias:
             b_qkv = jnp.concatenate(
                 [self.query.variables['params']['bias'],
                  self.key.variables['params']['bias'],
                  self.value.variables['params']['bias']])
+        if (_int8_dense_active(x)
+                and self.query.has_variable('act_scales', 'scale')):
+            x_scale = self.query.get_variable(
+                'act_scales', 'scale').astype(jnp.float32)
+            wq, w_scale = _quant_weight_cols(w_qkv)  # hoisted out of scan
+            return _int8_matmul(_quant_per_tensor(x, x_scale), wq,
+                                x_scale * w_scale, b_qkv, x.dtype)
+        qkv = jnp.dot(x, w_qkv.astype(x.dtype))
+        if b_qkv is not None:
             qkv = qkv + b_qkv.astype(x.dtype)
         return qkv
 
@@ -419,10 +523,12 @@ class Block(nn.Module):
                                   attn_pdrop=self.attn_pdrop,
                                   resid_pdrop=self.resid_pdrop,
                                   dtype=self.dtype, name='attn')
-        self.mlp_0 = nn.Dense(4 * self.embed_dim, use_bias=self.mlp_bias,
-                              name='mlp_0', dtype=self.dtype)
-        self.mlp_2 = nn.Dense(self.embed_dim, use_bias=self.mlp_bias,
-                              name='mlp_2', dtype=self.dtype)
+        self.mlp_0 = QuantizableDense(4 * self.embed_dim,
+                                      use_bias=self.mlp_bias,
+                                      name='mlp_0', dtype=self.dtype)
+        self.mlp_2 = QuantizableDense(self.embed_dim,
+                                      use_bias=self.mlp_bias,
+                                      name='mlp_2', dtype=self.dtype)
         self.mlp_drop = nn.Dropout(self.resid_pdrop)
 
     def _mlp(self, x, deterministic):

@@ -218,6 +218,26 @@ class TwoStageModel:
         return {**variables,
                 'stage1': {**variables['stage1'], 'act_scales': scales}}
 
+    def calibrate_stage2_int8(self, variables: Dict, codes_t, codes_b,
+                              labels) -> Dict:
+        """Static activation scales for the opt-in A8W8 depth-chain gemms
+        (HQT_INT8_STAGE2=1; see stage2/layers.QuantizableDense): run the
+        stage-2 training forward — the depth blocks see the same
+        activations there as in the cached decode — on representative
+        teacher-forced codes, recording each Dense input's absmax, and
+        return `variables` with stage2 extended by 'act_scales'. Same PTQ
+        recipe as calibrate_int8_decode; widen over several batches with
+        jax.tree.map(jnp.maximum, ...)."""
+        from .stage1.layers import (int8_calibration_scope,
+                                    int8_scales_from_calib)
+        with int8_calibration_scope():
+            _, col = self.stage2.apply(variables['stage2'], codes_t,
+                                       codes_b, labels,
+                                       mutable=['int8_calib'])
+        scales = int8_scales_from_calib(col['int8_calib'])
+        return {**variables,
+                'stage2': {**variables['stage2'], 'act_scales': scales}}
+
     def calibrate_kv_scales(self, variables: Dict, key, labels,
                             params: SamplingParams = SamplingParams(),
                             max_seq_len: Optional[int] = None,

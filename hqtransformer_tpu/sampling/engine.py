@@ -63,10 +63,14 @@ def _depth_sample_parallel(model: HierarchicalGPT, variables, h, key,
         top = given_top
     bots = []
     prev_codes = top[:, None]  # [B, 1]
+    from ..models.stage2.layers import int8_stage2_scope
     for g in range(1, n_groups + 1):
-        logits_bot, kv = model.apply(
-            variables, prev_codes, kv, g,
-            method=HierarchicalGPT.depth_second_logits)  # [B, n, Vb]
+        # the depth-second chain is the int8_stage2_scope hot path: under
+        # HQT_INT8_STAGE2=1 with calibrated scales its gemms run A8W8
+        with int8_stage2_scope():
+            logits_bot, kv = model.apply(
+                variables, prev_codes, kv, g,
+                method=HierarchicalGPT.depth_second_logits)  # [B, n, Vb]
         # one batched filtered-categorical draw for the whole group (the n
         # positions are conditionally independent given the top code)
         key, kg = jax.random.split(key)

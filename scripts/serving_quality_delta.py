@@ -116,26 +116,44 @@ def main():
         -1, tr * model_bf16.cell_win, tr * model_bf16.cell_win)
     os.environ['HQT_INT8_DECODE'] = '1'
     vars_dec = model_bf16.calibrate_int8_decode(vars_bf16, ct, cb)
+    # stage-2 depth-chain gemm scales, calibrated on teacher-forced codes
+    vars_s2 = model_bf16.calibrate_stage2_int8(
+        vars_bf16, codes_cal[0], cells_to_raster(
+            codes_cal[1], tr, model_bf16.cell_win).reshape(
+            codes_cal[0].shape[0], -1), cal_labels)
     vars_full = {**vars_kv,
                  'stage1': vars_dec['stage1']}
+    vars_max = {**vars_full,
+                'stage2': {**vars_kv['stage2'],
+                           'act_scales': vars_s2['stage2']['act_scales']}}
 
+    OFF = {'HQT_INT8_DECODE': '0', 'HQT_INT8_STAGE2': '0'}
     modes = {
-        'base': (model_f32, variables, dict(attention='einsum'), '0'),
+        'base': (model_f32, variables, dict(attention='einsum'), OFF),
         'packed_bf16': (model_bf16, vars_bf16,
                         dict(attention='packed',
-                             cache_dtype=jnp.bfloat16), '0'),
+                             cache_dtype=jnp.bfloat16), OFF),
         'int8_kv': (model_bf16, vars_kv,
-                    dict(attention='packed', cache_dtype=jnp.int8), '0'),
+                    dict(attention='packed', cache_dtype=jnp.int8), OFF),
         'int8_decode': (model_bf16, vars_dec,
                         dict(attention='packed',
-                             cache_dtype=jnp.bfloat16), '1'),
+                             cache_dtype=jnp.bfloat16),
+                        {**OFF, 'HQT_INT8_DECODE': '1'}),
+        'int8_stage2': (model_bf16, vars_s2,
+                        dict(attention='packed',
+                             cache_dtype=jnp.bfloat16),
+                        {**OFF, 'HQT_INT8_STAGE2': '1'}),
         'int8_full': (model_bf16, vars_full,
-                      dict(attention='packed', cache_dtype=jnp.int8), '1'),
+                      dict(attention='packed', cache_dtype=jnp.int8),
+                      {**OFF, 'HQT_INT8_DECODE': '1'}),
+        'int8_max': (model_bf16, vars_max,
+                     dict(attention='packed', cache_dtype=jnp.int8),
+                     {'HQT_INT8_DECODE': '1', 'HQT_INT8_STAGE2': '1'}),
     }
 
     samples = {}
-    for name, (model, mvars, kw, int8_env) in modes.items():
-        os.environ['HQT_INT8_DECODE'] = int8_env
+    for name, (model, mvars, kw, env) in modes.items():
+        os.environ.update(env)
         sampler = model.make_pixel_sampler(params=sp, **kw)
         outs = []
         for i in range(0, n, bs):
