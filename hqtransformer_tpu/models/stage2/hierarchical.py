@@ -68,6 +68,13 @@ class HierarchicalGPT(nn.Module):
     hparams_dec: Optional[Stage2Hparams] = None
     dtype: jnp.dtype = jnp.float32
     cache_dtype: jnp.dtype = jnp.float32
+    # gradient rematerialization for the TRAINING forward: recompute each
+    # spatial block's activations in the backward pass instead of storing
+    # them — trades ~1 extra forward of FLOPs for O(layers) less activation
+    # HBM, the standard jax.checkpoint recipe for scaling batch on the
+    # 1.38B L42 config. No reference analogue (torch would use
+    # torch.utils.checkpoint); sampling paths are unaffected (no grads).
+    remat: bool = False
 
     # ------------------------------------------------- derived configuration
     # properties (not setup state) so the sampling engine can read them from
@@ -202,13 +209,16 @@ class HierarchicalGPT(nn.Module):
                                          name='pred_emb_top',
                                          embedding_init=_normal_init())
 
-        # main transformer (`hierarchical_ar.py:134-144`)
+        # main transformer (`hierarchical_ar.py:134-144`); nn.remat keeps
+        # the param tree identical, so checkpoints swap freely with the
+        # non-remat module
+        Blk = nn.remat(Block) if self.remat else Block
         self.blocks = [
-            Block(embed_dim=D, n_heads=hp.n_heads, mlp_bias=hp.mlp_bias,
-                  attn_bias=hp.attn_bias, resid_pdrop=hp.resid_pdrop,
-                  attn_pdrop=hp.attn_pdrop,
-                  gelu_use_approx=hp.gelu_use_approx, dtype=self.dtype,
-                  name=f'blocks_{i}') for i in range(hp.n_layers)]
+            Blk(embed_dim=D, n_heads=hp.n_heads, mlp_bias=hp.mlp_bias,
+                attn_bias=hp.attn_bias, resid_pdrop=hp.resid_pdrop,
+                attn_pdrop=hp.attn_pdrop,
+                gelu_use_approx=hp.gelu_use_approx, dtype=self.dtype,
+                name=f'blocks_{i}') for i in range(hp.n_layers)]
         self.ln_f = nn.LayerNorm(epsilon=1e-5, name='ln_f', dtype=self.dtype)
 
         # depth transformer (`hierarchical_ar.py:150-209`)
@@ -227,11 +237,11 @@ class HierarchicalGPT(nn.Module):
         self.pos_emb_depth = nn.Embed(n_pos_depth, Dd, name='pos_emb_depth',
                                       embedding_init=_normal_init())
         self.depths = [
-            Block(embed_dim=Dd, n_heads=hpd.n_heads, mlp_bias=hpd.mlp_bias,
-                  attn_bias=hpd.attn_bias, resid_pdrop=hpd.resid_pdrop,
-                  attn_pdrop=hpd.attn_pdrop,
-                  gelu_use_approx=hpd.gelu_use_approx, dtype=self.dtype,
-                  name=f'depths_{i}') for i in range(hpd.n_layers)]
+            Blk(embed_dim=Dd, n_heads=hpd.n_heads, mlp_bias=hpd.mlp_bias,
+                attn_bias=hpd.attn_bias, resid_pdrop=hpd.resid_pdrop,
+                attn_pdrop=hpd.attn_pdrop,
+                gelu_use_approx=hpd.gelu_use_approx, dtype=self.dtype,
+                name=f'depths_{i}') for i in range(hpd.n_layers)]
         self.ln_top = nn.LayerNorm(epsilon=1e-5, name='ln_top', dtype=self.dtype)
         self.head_top = nn.Dense(self.vocab_size_top, use_bias=False,
                                  name='head_top', dtype=self.dtype)

@@ -47,8 +47,11 @@ def _decode_chunked(dec1, arrays, chunk: int):
         return out.reshape(n * chunk, *out.shape[2:])[:B]
 
 
-def build_stage2(config: TwoStageConfig, dtype=jnp.float32):
-    """Stage-2 dispatch by `stage2.type` (`models/__init__.py:114-147`)."""
+def build_stage2(config: TwoStageConfig, dtype=jnp.float32,
+                 remat: bool = False):
+    """Stage-2 dispatch by `stage2.type` (`models/__init__.py:114-147`).
+    `remat` enables gradient rematerialization on the transformer blocks
+    for training (main_stage2.py --remat); checkpoints are identical."""
     s2 = config.stage2
     spec = parse_model_type(s2.type)
     if spec.family == 'top':
@@ -67,7 +70,8 @@ def build_stage2(config: TwoStageConfig, dtype=jnp.float32):
                                use_cls_cond=bool(s2.use_cls_cond),
                                use_txt_cond=bool(s2.use_txt_cond),
                                model_type=spec, hparams=s2.hparams,
-                               hparams_dec=s2.hparams_dec, dtype=dtype)
+                               hparams_dec=s2.hparams_dec, dtype=dtype,
+                               remat=remat)
     if spec.family == 'multilevel-hq':
         from .stage2.multilevel import MultiLevelHQTransformer
         return MultiLevelHQTransformer(
@@ -98,11 +102,12 @@ class TwoStageModel:
     model. Not a flax module: holds two module defs and composes their
     `apply` calls in jitted pure functions."""
 
-    def __init__(self, config: TwoStageConfig, dtype=jnp.float32):
+    def __init__(self, config: TwoStageConfig, dtype=jnp.float32,
+                 remat: bool = False):
         self.config = config
         self.dtype = dtype
         self.stage1 = build_generator(config.stage1, dtype=dtype)
-        self.stage2 = build_stage2(config, dtype=dtype)
+        self.stage2 = build_stage2(config, dtype=dtype, remat=remat)
         # spatial length of the stage-2 loop: top codes of the stage-1
         # latent. 2-level: latent_dim / sqrt(ratio); N-level:
         # latent_dim / 2^(levels-1).

@@ -135,9 +135,11 @@ def test_main_stage2_smoke(tmp_path, image_root):
     # reference never shipped a stage-2 launch script at all, let alone
     # resume): restored @ step 3, the next logged step is 4/5, and the
     # final checkpoint lands at the true step 5
+    # --remat piggybacks here: rematerialized blocks restore the same
+    # checkpoint (identical param tree) and continue training
     _run(['main_stage2.py', '-c', TINY2, '-r', str(tmp_path / 's2b'),
           '--data-root', str(image_root), '--max-steps', '5',
-          '--resume', str(run_dir / 'ckpt')])
+          '--resume', str(run_dir / 'ckpt'), '--remat'])
     run2 = next((tmp_path / 's2b' / 'stage2-tiny').iterdir())
     log2 = (run2 / 'train.log').read_text()
     assert 'resumed from' in log2 and '@ step 3' in log2
