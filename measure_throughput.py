@@ -35,6 +35,9 @@ def parse_kv_args(argv):
                cond='cls',  # cls | txt (the measure_throughput_txt variant)
                samples_per_loop=1000,  # reference protocol value; lower it
                                        # only for CI smoke runs
+               serving='bf16',  # bf16 | int8 (calibrated int8 KV cache +
+                                # A8W8 decode; 2-level bf16 models only —
+                                # quality: docs/serving.md)
                profile='')  # dir for a jax.profiler trace of one loop
     for a in argv:
         k, v = a.split('=', 1)
@@ -66,10 +69,39 @@ def main():
     Ttop = a['top_resolution'] ** 2
 
     if a['code_levels'] == 2:
+        cache_dtype = dtype
+        if a['serving'] == 'int8':
+            assert dtype == jnp.bfloat16 and a['code_levels'] == 2, \
+                'serving=int8 needs dtype=bfloat16 code_levels=2'
+            # calibrated int8 KV cache + A8W8 decode (docs/serving.md)
+            if a['cond'] == 'txt':
+                cal_labels = jnp.zeros(
+                    (min(bs, 256), cfg.stage2.hparams.ctx_len_txt),
+                    jnp.int32)
+            else:
+                cal_labels = jnp.zeros((min(bs, 256),), jnp.int32)
+            variables = model.calibrate_kv_scales(
+                variables, jax.random.PRNGKey(2), cal_labels,
+                max_seq_len=Ttop)
+            _, (ct0, cb0) = model.make_pixel_sampler(max_seq_len=Ttop)(
+                variables, jax.random.PRNGKey(3), cal_labels)
+            from hqtransformer_tpu.models.stage2.hierarchical import \
+                cells_to_raster
+            tr = model.top_res
+            r = tr * model.cell_win
+            os.environ['HQT_INT8_DECODE'] = '1'
+            variables = model.calibrate_int8_decode(
+                variables, ct0.reshape(-1, tr, tr),
+                cells_to_raster(cb0, tr, model.cell_win).reshape(-1, r, r))
+            cache_dtype = jnp.int8
+        # int8 caches exist only in the packed layout, so force it there
+        attn = 'packed' if a['serving'] == 'int8' else 'auto'
         ar_sampler = make_hierarchical_sampler(
-            model.stage2, Ttop, SamplingParams(), cache_dtype=dtype)
+            model.stage2, Ttop, SamplingParams(), cache_dtype=cache_dtype,
+            attention=attn)
         e2e_sampler = model.make_pixel_sampler(max_seq_len=Ttop,
-                                               cache_dtype=dtype)
+                                               cache_dtype=cache_dtype,
+                                               attention=attn)
     else:
         ar_sampler = make_multilevel_sampler(model.stage2, Ttop,
                                              cache_dtype=dtype)

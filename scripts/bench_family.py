@@ -24,9 +24,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ROWS = {
-    # name: (config, batch, cond, code_levels)
+    # name: (config, batch, cond, code_levels[, serving])
     'l12': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
             2048, 'cls', 2),
+    'l12-int8': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
+                 2048, 'cls', 2, 'int8'),
     'l24': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
             1024, 'cls', 2),
     'l42': ('configs/imagenet/stage2/hqtransformer-l42-top8x8.yaml',
@@ -44,11 +46,11 @@ SUMMARY_RE = re.compile(
 
 
 def run_row(name, config, batch, cond, code_levels, samples_per_loop,
-            n_loop):
+            n_loop, serving='bf16'):
     argv = [sys.executable, 'measure_throughput.py',
             f'model_path={config}', f'batch_size={batch}', f'cond={cond}',
             f'code_levels={code_levels}', f'n_loop={n_loop}',
-            f'samples_per_loop={samples_per_loop}']
+            f'samples_per_loop={samples_per_loop}', f'serving={serving}']
     t0 = time.time()
     p = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
                        timeout=3600)
@@ -64,7 +66,8 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
                 'error': 'no summary line', 'detail': p.stdout[-500:]}
     ms = float(m.group(2))
     row = {'model': name, 'config': config, 'batch': batch, 'cond': cond,
-           'code_levels': code_levels, 'ms_per_sample': ms,
+           'code_levels': code_levels, 'serving': serving,
+           'ms_per_sample': ms,
            'ar_ms': float(m.group(3)), 'decode_ms': float(m.group(4)),
            'samples_per_sec': round(1000.0 / ms, 1),
            'wall_s': round(time.time() - t0, 1)}
@@ -87,11 +90,14 @@ def main():
         name = name.strip()
         if name not in ROWS:
             raise SystemExit(f'unknown row {name!r}; known: {list(ROWS)}')
-        config, batch, cond, levels = ROWS[name]
+        spec = ROWS[name]
+        config, batch, cond, levels = spec[:4]
+        serving = spec[4] if len(spec) > 4 else 'bf16'
         batch = args.batch_override or batch
-        print(f'[{name}] {config} bs{batch} {cond} L{levels}..', flush=True)
+        print(f'[{name}] {config} bs{batch} {cond} L{levels} {serving}..',
+              flush=True)
         row = run_row(name, config, batch, cond, levels,
-                      args.samples_per_loop, args.n_loop)
+                      args.samples_per_loop, args.n_loop, serving)
         print(f'[{name}] {json.dumps(row)}', flush=True)
         results.append(row)
 

@@ -35,6 +35,7 @@ run bench_s2int8 5400 env BENCH_INT8_STAGE2=1 BENCH_SKIP_BS50=1 \
 
 # 3) family table -> PERF.json (l12 first; each row is its own compile)
 run family_l12 3600 python scripts/bench_family.py --rows l12
+run family_l12i8 3600 python scripts/bench_family.py --rows l12-int8
 run family_l24 3600 python scripts/bench_family.py --rows l24
 run family_l42 3600 python scripts/bench_family.py --rows l42
 run family_l3  3600 python scripts/bench_family.py --rows l12-level3
