@@ -411,11 +411,14 @@ class MultiLevelHQTransformer(nn.Module):
         return logits
 
     # --------------------------------------------------------- decode steps
-    def spatial_step(self, x: jax.Array, k_cache, v_cache, cache_len):
-        """Cached spatial step (same contract as HierarchicalGPT)."""
+    def spatial_step(self, x: jax.Array, k_cache, v_cache, cache_len,
+                     t_compute: int = 0):
+        """Cached spatial step (same contract as HierarchicalGPT;
+        `t_compute` bounds the packed kernel's per-segment compute)."""
         for i, blk in enumerate(self.blocks):
             x, k_cache, v_cache = blk.step_stacked(x, k_cache, v_cache, i,
-                                                   cache_len)
+                                                   cache_len,
+                                                   t_compute=t_compute)
         return self.ln_f(x), k_cache, v_cache
 
     def embed_cell_step(self, top: jax.Array, mid: jax.Array,

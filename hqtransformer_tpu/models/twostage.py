@@ -403,6 +403,7 @@ class TwoStageModel:
                                       top_p=(None, None, None),
                                       temperature=(1.0, 1.0, 1.0),
                                       cache_dtype=None,
+                                      n_segments: int = 2,
                                       decode_chunk: int = 128):
         """Jitted 3-level end-to-end sampler: labels -> pixels in [0, 1]
         (the `sampling_level3` path, `sampling_hqmodel.py:124-153`).
@@ -417,7 +418,8 @@ class TwoStageModel:
         Ttop = max_seq_len or self.top_res * self.top_res
         sampler = make_multilevel_sampler(self.stage2, Ttop, top_k, top_p,
                                           temperature,
-                                          cache_dtype=cache_dtype)
+                                          cache_dtype=cache_dtype,
+                                          n_segments=n_segments)
         top_res = int(math.isqrt(Ttop))
 
         def decode(variables, codes):

@@ -435,6 +435,7 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                             top_p=(None, None, None),
                             temperature=(1.0, 1.0, 1.0),
                             cache_dtype=None,
+                            n_segments: int = 2,
                             attention: str = 'auto'):
     """Jitted sampler for the 3-level model (`sampling_hqtransformer`,
     `hqvae/utils/sampling.py:240-307` + `hqtransformer.py:409-635`).
@@ -467,16 +468,35 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                                   top_k=top_k[2], top_p=top_p[2])
         return top, mids, bots
 
+    # segment boundaries over spatial steps [1, max_seq_len) — same no-copy
+    # scheme as the 2-level sampler: the packed path allocates the full
+    # cache once and shrinks only the per-segment compute via t_compute
+    bounds = []
+    prev = 1
+    for si in range(n_segments):
+        end = max_seq_len * (si + 1) // n_segments if si < n_segments - 1 \
+            else max_seq_len
+        if end > prev:
+            bounds.append((prev, end))
+            prev = end
+    if not bounds:
+        bounds = [(1, max_seq_len)]
+
     def sample(variables, key, labels):
         B = labels.shape[0]
+        packed = _use_packed_cache(attention, hp.embed_dim, B)
         sos = model.apply(variables, B, labels,
                           method=type(model).sos_tokens)
         t_max = sos_len + max_seq_len - 1
         cdtype = cache_dtype or sos.dtype
-        if _use_packed_cache(attention, hp.embed_dim, B):
+
+        def packed_t(t):
             from ..ops.pallas_attention import ROW_CHUNK
-            t_pad = -(-t_max // ROW_CHUNK) * ROW_CHUNK
-            kc = jnp.zeros((n_layers, t_pad, B, hp.embed_dim), cdtype)
+            return -(-t // ROW_CHUNK) * ROW_CHUNK
+
+        if packed:
+            kc = jnp.zeros((n_layers, packed_t(t_max), B, hp.embed_dim),
+                           cdtype)
         else:
             kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
                            cdtype)
@@ -486,20 +506,34 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
         key, k0 = jax.random.split(key)
         top0, mid0, bot0 = depth_sample(variables, h_all[:, -1], k0)
 
-        def body(carry, i):
-            kc, vc, top, mid, bot, key = carry
-            x = model.apply(variables, top, mid, bot,
-                            jnp.full((B,), i - 1, jnp.int32),
-                            method=type(model).embed_cell_step)
-            h, kc, vc = model.apply(variables, x, kc, vc, sos_len + i - 1,
-                                    method=type(model).spatial_step)
-            key, ki = jax.random.split(key)
-            top_i, mid_i, bot_i = depth_sample(variables, h[:, -1], ki)
-            return (kc, vc, top_i, mid_i, bot_i, key), (top_i, mid_i, bot_i)
+        def make_body(t_compute):
+            def body(carry, i):
+                kc, vc, top, mid, bot, key = carry
+                x = model.apply(variables, top, mid, bot,
+                                jnp.full((B,), i - 1, jnp.int32),
+                                method=type(model).embed_cell_step)
+                h, kc, vc = model.apply(variables, x, kc, vc,
+                                        sos_len + i - 1,
+                                        method=type(model).spatial_step,
+                                        t_compute=t_compute)
+                key, ki = jax.random.split(key)
+                top_i, mid_i, bot_i = depth_sample(variables, h[:, -1], ki)
+                return ((kc, vc, top_i, mid_i, bot_i, key),
+                        (top_i, mid_i, bot_i))
+            return body
 
-        _, (tops, mids, bots) = jax.lax.scan(
-            body, (kc, vc, top0, mid0, bot0, key),
-            jnp.arange(1, max_seq_len))
+        carry = (kc, vc, top0, mid0, bot0, key)
+        all_t, all_m, all_b = [], [], []
+        for lo, hi in bounds:
+            body = make_body(packed_t(sos_len + hi - 1) if packed else 0)
+            carry, (tops, mids, bots) = jax.lax.scan(body, carry,
+                                                     jnp.arange(lo, hi))
+            all_t.append(tops)
+            all_m.append(mids)
+            all_b.append(bots)
+        tops = jnp.concatenate(all_t, axis=0)
+        mids = jnp.concatenate(all_m, axis=0)
+        bots = jnp.concatenate(all_b, axis=0)
         tops = jnp.concatenate([top0[:, None], tops.T], axis=1)
         mids = jnp.concatenate([mid0[:, None, :], mids.transpose(1, 0, 2)],
                                axis=1)

@@ -129,3 +129,26 @@ def test_multilevel_packed_attention_matches_einsum():
     b = s_p(variables, key, labels)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_multilevel_segments_do_not_change_codes():
+    """The no-copy segmented scan (n_segments, packed t_compute bounds) is
+    a pure compute optimization: identical token streams for 1 vs 3
+    segments on the packed path (mirrors the 2-level guard in
+    test_pipelined_sampler.py)."""
+    _, jm = build_pair('parallel-add', ctx_len_img=4)
+    B, Ttop = 8, 4
+    labels = jnp.arange(B, dtype=jnp.int32) % 10
+    codes = [jnp.zeros((B, Ttop), jnp.int32),
+             jnp.zeros((B, Ttop * 4), jnp.int32),
+             jnp.zeros((B, Ttop * 16), jnp.int32)]
+    variables = jm.init(jax.random.PRNGKey(0), codes, labels)
+    key = jax.random.PRNGKey(5)
+    outs = []
+    for n_seg in (1, 3):
+        s = make_multilevel_sampler(jm, Ttop, top_k=(8, 8, 8),
+                                    temperature=(0.9, 0.9, 0.9),
+                                    n_segments=n_seg, attention='packed')
+        outs.append(s(variables, key, labels))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
