@@ -341,8 +341,11 @@ def main():
             v_q = model.calibrate_int8_decode(v_q, ct, cb)
             if os.environ.get('BENCH_INT8_STAGE2') == '1':
                 # also run the depth-chain gemms A8W8 (quality: the
-                # int8_max row of scripts/serving_quality_delta.py)
+                # int8_max row of scripts/serving_quality_delta.py);
+                # BENCH_INT8_SPATIAL=1 extends to the spatial gemms
                 os.environ['HQT_INT8_STAGE2'] = '1'
+                if os.environ.get('BENCH_INT8_SPATIAL') == '1':
+                    os.environ['HQT_INT8_SPATIAL'] = '1'
                 n_cal = min(128, batch)
                 v_q = model.calibrate_stage2_int8(
                     v_q, codes[0][:n_cal], cells_to_raster(
@@ -371,6 +374,7 @@ def main():
         finally:
             os.environ['HQT_INT8_DECODE'] = '0'
             os.environ['HQT_INT8_STAGE2'] = '0'
+            os.environ['HQT_INT8_SPATIAL'] = '0'
 
     extra = {}
     if int8 is not None:

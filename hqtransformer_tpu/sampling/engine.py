@@ -228,6 +228,18 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
         bounds = [(1, max_seq_len)]
 
     def sample(variables, key, labels, given_top_codes=None):
+        import contextlib
+        import os
+
+        from ..models.stage2.layers import int8_stage2_scope
+
+        # HQT_INT8_SPATIAL=1 extends the A8W8 gemms to the SPATIAL
+        # transformer steps as well (still gated per-Dense by
+        # HQT_INT8_STAGE2=1 + calibrated scales); read at trace time
+        spatial_scope = (int8_stage2_scope
+                         if os.environ.get('HQT_INT8_SPATIAL') == '1'
+                         else contextlib.nullcontext)
+
         B = labels.shape[0]
         packed = _use_packed_cache(attention, hp.embed_dim, B)
         seg_bounds = bounds
@@ -264,8 +276,9 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
         vc = jnp.zeros_like(kc)
 
         # prefill conditioning prefix (`hierarchical_ar.py:493-504`)
-        h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
-                                    method=HierarchicalGPT.spatial_step)
+        with spatial_scope():
+            h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
+                                        method=HierarchicalGPT.spatial_step)
         key, k0 = jax.random.split(key)
         g0 = given_top_codes[:, 0] if use_given_top else None
         top0, bot0 = depth_fn(model, variables, h_all[:, -1], k0, params,
@@ -278,10 +291,11 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
                 x = model.apply(variables, prev_top, prev_bot,
                                 jnp.full((B,), i - 1, jnp.int32),
                                 method=HierarchicalGPT.embed_cell_step)
-                h, kc, vc = model.apply(variables, x, kc, vc,
-                                        sos_len + i - 1,
-                                        method=HierarchicalGPT.spatial_step,
-                                        t_compute=t_compute)
+                with spatial_scope():
+                    h, kc, vc = model.apply(
+                        variables, x, kc, vc, sos_len + i - 1,
+                        method=HierarchicalGPT.spatial_step,
+                        t_compute=t_compute)
                 key, ki = jax.random.split(key)
                 gi = given_top_codes[:, i] if use_given_top else None
                 top_i, bot_i = depth_fn(model, variables, h[:, -1], ki,

@@ -127,7 +127,8 @@ def main():
                 'stage2': {**vars_kv['stage2'],
                            'act_scales': vars_s2['stage2']['act_scales']}}
 
-    OFF = {'HQT_INT8_DECODE': '0', 'HQT_INT8_STAGE2': '0'}
+    OFF = {'HQT_INT8_DECODE': '0', 'HQT_INT8_STAGE2': '0',
+           'HQT_INT8_SPATIAL': '0'}
     modes = {
         'base': (model_f32, variables, dict(attention='einsum'), OFF),
         'packed_bf16': (model_bf16, vars_bf16,
@@ -146,9 +147,15 @@ def main():
         'int8_full': (model_bf16, vars_full,
                       dict(attention='packed', cache_dtype=jnp.int8),
                       {**OFF, 'HQT_INT8_DECODE': '1'}),
+        'int8_spatial': (model_bf16, vars_s2,
+                         dict(attention='packed',
+                              cache_dtype=jnp.bfloat16),
+                         {**OFF, 'HQT_INT8_STAGE2': '1',
+                          'HQT_INT8_SPATIAL': '1'}),
         'int8_max': (model_bf16, vars_max,
                      dict(attention='packed', cache_dtype=jnp.int8),
-                     {'HQT_INT8_DECODE': '1', 'HQT_INT8_STAGE2': '1'}),
+                     {'HQT_INT8_DECODE': '1', 'HQT_INT8_STAGE2': '1',
+                      'HQT_INT8_SPATIAL': '1'}),
     }
 
     samples = {}

@@ -32,6 +32,8 @@ run bench 5400 python bench.py
 run int8_gemm 1800 python scripts/microbench_int8_gemm.py
 run bench_s2int8 5400 env BENCH_INT8_STAGE2=1 BENCH_SKIP_BS50=1 \
     BENCH_SKIP_PHASES=1 python bench.py
+run bench_maxint8 5400 env BENCH_INT8_STAGE2=1 BENCH_INT8_SPATIAL=1 \
+    BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 python bench.py
 
 # 3) family table -> PERF.json (l12 first; each row is its own compile)
 run family_l12 3600 python scripts/bench_family.py --rows l12

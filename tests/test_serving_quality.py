@@ -40,6 +40,6 @@ def test_serving_modes_are_distribution_equivalent(tmp_path):
     # 5% of the float path's distance-to-train, and its direct distance to
     # the float path's samples must be well under that distance.
     for mode in ('packed_bf16', 'int8_kv', 'int8_decode', 'int8_stage2',
-                 'int8_full', 'int8_max'):
+                 'int8_spatial', 'int8_full', 'int8_max'):
         assert abs(r[f'fid_proxy_{mode}'] - base) < 0.05 * base + 0.5, r
         assert r[f'frechet_to_base_{mode}'] < 0.1 * base + 0.5, r
