@@ -184,3 +184,59 @@ def test_int8_stage2_depth_gemms_track_float_path():
     assert ct_q.shape == ct_f.shape and cb_q.shape == cb_f.shape
     assert agree_t > 0.6, agree_t
     assert agree_b > 0.6, agree_b
+
+
+def test_int8_spatial_gemms_track_float_path():
+    """HQT_INT8_SPATIAL=1 (+ HQT_INT8_STAGE2=1) extends the A8W8 gemms to
+    the SPATIAL transformer steps via the same scoped QuantizableDense
+    machinery; the sampler must keep tracking the bf16 path. Spatial
+    perturbations feed every later step's cache, so divergence cascades
+    harder than the depth-only mode (measured ~0.77 tops / ~0.75 bottoms
+    on this tiny model) — the bound is loose; the distribution-level
+    statement is scripts/serving_quality_delta.py."""
+    import os
+
+    from hqtransformer_tpu.models.stage2.hierarchical import cells_to_raster
+
+    spec = parse_model_type('hq-transformer/parallel')
+    model = HierarchicalGPT(vocab_size_top=64, vocab_size_bot=64,
+                            vocab_size_txt=32, ratio_bot2top=4,
+                            use_cls_cond=True, use_txt_cond=False,
+                            model_type=spec, hparams=tiny_hparams(),
+                            dtype=jnp.bfloat16)
+    B, Ttop = 8, 16
+    labels = jnp.arange(1, B + 1, dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((B, Ttop), jnp.int32),
+                           jnp.zeros((B, Ttop * 4), jnp.int32), labels)
+
+    sp = SamplingParams(temperature_top=0.9, temperature_bot=0.9,
+                        top_k_top=16, top_k_bot=16)
+    key = jax.random.PRNGKey(7)
+    ref = make_hierarchical_sampler(model, Ttop, sp, attention='packed')
+    ct_f, cb_f = ref(variables, key, labels)
+
+    from hqtransformer_tpu.models.stage1.layers import (
+        int8_calibration_scope, int8_scales_from_calib)
+    cb_raster = cells_to_raster(cb_f, 4, 2).reshape(B, -1)
+    with int8_calibration_scope():
+        _, col = model.apply(variables, ct_f, cb_raster, labels,
+                             mutable=['int8_calib'])
+    vars_q = {**variables,
+              'act_scales': int8_scales_from_calib(col['int8_calib'])}
+
+    os.environ['HQT_INT8_STAGE2'] = '1'
+    os.environ['HQT_INT8_SPATIAL'] = '1'
+    try:
+        q8 = make_hierarchical_sampler(model, Ttop, sp, attention='packed')
+        ct_q, cb_q = q8(vars_q, key, labels)
+    finally:
+        os.environ['HQT_INT8_STAGE2'] = '0'
+        os.environ['HQT_INT8_SPATIAL'] = '0'
+
+    agree_t = float(np.mean(np.asarray(ct_q) == np.asarray(ct_f)))
+    agree_b = float(np.mean(np.asarray(cb_q) == np.asarray(cb_f)))
+    assert ct_q.shape == ct_f.shape and cb_q.shape == cb_f.shape
+    print(f'agree_t={agree_t:.3f} agree_b={agree_b:.3f}')
+    assert agree_t > 0.5, agree_t
+    assert agree_b > 0.5, agree_b
