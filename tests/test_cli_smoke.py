@@ -118,6 +118,7 @@ def test_measure_throughput_smoke(tmp_path):
     assert 'ms/sample' in p.stdout and 'bs4 |' in p.stdout
 
 
+@slow
 def test_main_stage2_smoke(tmp_path, image_root):
     """Stage-2 training CLI (the launch script the reference deliberately
     never released, configs/README.md:27): a few steps against a random
