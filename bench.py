@@ -45,11 +45,20 @@ def _emit(extra=None, value=0.0):
     sys.stdout.flush()
 
 
+# best-so-far result: the primary metric is stashed here the moment it is
+# measured, and every later best-effort section appends as it completes, so
+# a failure/hang in a LATER section (watchdog fire, wedged lease mid-run)
+# still emits the number already in hand instead of value 0
+_RESULT = {'value': 0.0, 'extra': {}}
+
+
 def _fail(reason, detail=''):
     """Emit a diagnosable artifact instead of a traceback, and exit 0 so the
     driver records the JSON line (round 3's number was lost to an rc=1
-    traceback when the TPU relay was down at capture time)."""
-    _emit({'error': reason, 'detail': str(detail)[:500]})
+    traceback when the TPU relay was down at capture time). Carries any
+    already-measured value/sections."""
+    _emit({**_RESULT['extra'], 'error': reason, 'detail': str(detail)[:500]},
+          value=_RESULT['value'])
     os._exit(0)
 
 
@@ -179,6 +188,7 @@ def main():
 
     dt = min(times)
     samples_per_sec = batch / dt
+    _RESULT['value'] = samples_per_sec
 
     # reference-protocol comparison point (measure_throughput/__main__.py:
     # 140-180: batch 50, 1000 samples per timed loop, AR + decode counted).
@@ -224,6 +234,9 @@ def main():
             med = t50[len(t50) // 2]
             ref_ms_per_sample = med / (n_b * bs50) * 1000
             ref_spread = (t50[-1] - t50[0]) / med
+            _RESULT['extra']['ms_per_sample_bs50_reference_protocol'] = \
+                round(ref_ms_per_sample, 3)
+            _RESULT['extra']['bs50_spread'] = round(ref_spread, 4)
         except Exception as e:                      # pragma: no cover
             print(f'bs50 protocol section skipped: {e!r}', file=sys.stderr)
 
@@ -316,6 +329,7 @@ def main():
                     'e2e_bound_samples_per_sec': round(
                         1000.0 / (ar_floor + dec_floor), 1),
                 })
+            _RESULT['extra']['phases'] = phases
         except Exception as e:                      # pragma: no cover
             print(f'phase section skipped: {e!r}', file=sys.stderr)
 
@@ -369,6 +383,7 @@ def main():
                     'vs_bf16': round(sps_q / samples_per_sec, 3),
                     'vs_baseline': round(sps_q / BASELINE_SAMPLES_PER_SEC,
                                          3)}
+            _RESULT['extra']['int8_serving'] = int8
         except Exception as e:                      # pragma: no cover
             print(f'int8 section skipped: {e!r}', file=sys.stderr)
         finally:
