@@ -24,16 +24,20 @@ print(jax.devices())
 print(float(jnp.sum(jnp.ones((128, 128)))))"
 grep -q "rc=0 smoke" "$OUT/queue.log" || { echo "chip not usable"; exit 1; }
 
-# 1) the driver-contract bench, full (bf16 + bs50 + phases + int8 section)
-run bench 5400 python bench.py
+# 1) the driver-contract bench, full (bf16 + bs50 + phases + int8 section).
+# The INTERNAL watchdog (5100s) must fire before the shell timeout: it
+# exits cleanly with the best-so-far JSON, where a shell SIGTERM kills a
+# live TPU process and can wedge the device lease for the rest of the queue
+run bench 5400 env BENCH_TOTAL_TIMEOUT_S=5100 python bench.py
 
 # 2) int8 gemm probe (decides the int8 depth-chain lever); if >=1.3x,
 #    bench again with the depth-chain gemms A8W8
 run int8_gemm 1800 python scripts/microbench_int8_gemm.py
 run bench_s2int8 5400 env BENCH_INT8_STAGE2=1 BENCH_SKIP_BS50=1 \
-    BENCH_SKIP_PHASES=1 python bench.py
+    BENCH_SKIP_PHASES=1 BENCH_TOTAL_TIMEOUT_S=5100 python bench.py
 run bench_maxint8 5400 env BENCH_INT8_STAGE2=1 BENCH_INT8_SPATIAL=1 \
-    BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 python bench.py
+    BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 BENCH_TOTAL_TIMEOUT_S=5100 \
+    python bench.py
 
 # 3) family table -> PERF.json (l12 first; each row is its own compile)
 run family_l12 3600 python scripts/bench_family.py --rows l12
