@@ -63,6 +63,15 @@ BISECT_ITERS = 26  # 44 / 2^26 ~ 6.6e-7: below f32 ulp of typical logits
 # sync costs what the skipped sweeps save — so the simple loop is default
 import os as _os
 _EARLY_EXIT = _os.environ.get('HQT_SAMPLE_EARLY_EXIT', '0') == '1'
+# 3-probe bisection: evaluate counts at the bracket's quartile points in
+# ONE pass over the logits (the three compares share the tile load), so
+# each pass narrows the bracket 4x — 13 passes reach the same 6.6e-7
+# tolerance as 26 binary passes. Same kept-set guarantee (final lo lands
+# in (v_{k+1}, v_k], exact count==k hits freeze a row early); trades ~1.5x
+# more VPU compare/add work for HALF the per-pass fixed cost. A/B lever
+# for the fused sampler's 3.9 ms/step (scripts/ablate_ar.py).
+_BISECT3 = _os.environ.get('HQT_SAMPLE_BISECT3', '0') == '1'
+BISECT3_ITERS = 13  # 44 / 4^13 == 44 / 2^26
 
 
 def _tril_ones(n: int, strict: bool) -> jax.Array:
@@ -83,7 +92,8 @@ def _dot_f32(a: jax.Array, b: jax.Array) -> jax.Array:
             jnp.dot(a_lo, bb, preferred_element_type=jnp.float32))
 
 
-def _sample_kernel(k_ref, temp_ref, logits_ref, u_ref, out_ref):
+def _sample_kernel(k_ref, temp_ref, logits_ref, u_ref, out_ref,
+                   bisect3: bool = False):
     x = logits_ref[:].astype(jnp.float32) / temp_ref[0]   # [TB, V]
     k = k_ref[0]
     tb, v = x.shape
@@ -94,6 +104,45 @@ def _sample_kernel(k_ref, temp_ref, logits_ref, u_ref, out_ref):
                        keepdims=True)
 
     row_max = jnp.max(x, axis=-1, keepdims=True)
+
+    def threshold3():
+        # 3 probes at the bracket quartiles per pass (see _BISECT3 note):
+        # bracket narrows 4x/pass, same invariant and freeze rule as the
+        # binary loop — counts are monotone (c1 >= c2 >= c3), so the
+        # tightest [m_i, m_j] with count(>=m_i) >= k > count(>=m_j) is
+        # picked by cascaded selects, and an exact count == k at any probe
+        # lands lo on that probe (the largest such) and freezes the row.
+        kf = k.astype(jnp.float32)
+
+        def body(_, st):
+            lo, hi, done = st
+            live = done < 0.5
+            d = hi - lo
+            m1 = lo + 0.25 * d
+            m2 = lo + 0.5 * d
+            m3 = lo + 0.75 * d
+            c1 = count_ge(m1)
+            c2 = count_ge(m2)
+            c3 = count_ge(m3)
+            lo2 = jnp.where(c1 >= kf, m1, lo)
+            lo2 = jnp.where(c2 >= kf, m2, lo2)
+            lo2 = jnp.where(c3 >= kf, m3, lo2)
+            hi2 = jnp.where(c3 < kf, m3, hi)
+            hi2 = jnp.where(c2 < kf, m2, hi2)
+            hi2 = jnp.where(c1 < kf, m1, hi2)
+            lo = jnp.where(live, lo2, lo)
+            hi = jnp.where(live, hi2, hi)
+            exact = jnp.logical_or(jnp.logical_or(c1 == kf, c2 == kf),
+                                   c3 == kf)
+            done = jnp.where(jnp.logical_and(exact, live),
+                             jnp.ones_like(done), done)
+            return lo, hi, done
+
+        lo, _, _ = jax.lax.fori_loop(
+            0, BISECT3_ITERS, body,
+            (row_max - BISECT_RANGE, row_max + 1e-6,
+             jnp.zeros((tb, 1), jnp.float32)))
+        return lo
 
     def threshold():
         # bisect within [row_max - BISECT_RANGE, row_max] (see BISECT_RANGE
@@ -132,7 +181,7 @@ def _sample_kernel(k_ref, temp_ref, logits_ref, u_ref, out_ref):
             _, _, lo, _, _ = jax.lax.fori_loop(0, BISECT_ITERS, fbody, state)
         return lo
 
-    thr = jax.lax.cond(k < v, threshold,
+    thr = jax.lax.cond(k < v, threshold3 if bisect3 else threshold,
                        lambda: jnp.min(x, axis=-1, keepdims=True))
     p = jnp.where(x >= thr, jnp.exp(x - row_max), 0.0)  # unnormalized mass
 
@@ -180,10 +229,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'bisect3'))
 def _sample_topk_2d(logits: jax.Array, u: jax.Array, k: jax.Array,
                     temperature: jax.Array,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    bisect3: bool = False) -> jax.Array:
     n, v = logits.shape
     n_pad = _round_up(max(n, 8), TILE_B)
     v_pad = _round_up(v, LANE)
@@ -198,7 +248,7 @@ def _sample_topk_2d(logits: jax.Array, u: jax.Array, k: jax.Array,
         uu = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(u)
 
     out = pl.pallas_call(
-        _sample_kernel,
+        functools.partial(_sample_kernel, bisect3=bisect3),
         grid=(n_pad // TILE_B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -221,7 +271,8 @@ def _sample_topk_2d(logits: jax.Array, u: jax.Array, k: jax.Array,
 
 def sample_topk_pallas(key: jax.Array, logits: jax.Array,
                        temperature: float = 1.0,
-                       top_k=None, interpret: bool = False) -> jax.Array:
+                       top_k=None, interpret: bool = False,
+                       bisect3=None) -> jax.Array:
     """Drop-in fused replacement for
     `topk_topp.sample_from_logits(top_p=None)`. logits: [..., V] (any float
     dtype — fed to the kernel unconverted) -> [...].
@@ -237,6 +288,9 @@ def sample_topk_pallas(key: jax.Array, logits: jax.Array,
     flat = logits.reshape(-1, v)
     u = jax.random.uniform(key, (flat.shape[0],), jnp.float32)
     k = v if top_k is None else min(int(top_k), v)
+    if bisect3 is None:
+        bisect3 = _BISECT3
     codes = _sample_topk_2d(flat, u, jnp.int32(k),
-                            jnp.float32(temperature), interpret=interpret)
+                            jnp.float32(temperature), interpret=interpret,
+                            bisect3=bisect3)
     return codes.reshape(shape)

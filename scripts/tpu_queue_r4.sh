@@ -39,6 +39,12 @@ run bench_maxint8 5400 env BENCH_INT8_STAGE2=1 BENCH_INT8_SPATIAL=1 \
     BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 BENCH_TOTAL_TIMEOUT_S=5100 \
     python bench.py
 
+# 2b) 3-probe bisection A/B for the fused sampler (vs the main bench's
+# bf16 value; draws are token-identical, only the pass count changes)
+run bench_bisect3 3600 env HQT_SAMPLE_BISECT3=1 BENCH_SKIP_BS50=1 \
+    BENCH_SKIP_PHASES=1 BENCH_SKIP_INT8=1 BENCH_TOTAL_TIMEOUT_S=3300 \
+    python bench.py
+
 # 3) family table -> PERF.json (l12 first; each row is its own compile)
 run family_l12 3600 python scripts/bench_family.py --rows l12
 run family_l12i8 3600 python scripts/bench_family.py --rows l12-int8

@@ -54,3 +54,31 @@ def test_leading_batch_dims():
     out = sample_topk_pallas(jax.random.PRNGKey(0), logits, top_k=10,
                              interpret=True)
     assert out.shape == (4, 6)
+
+
+def test_bisect3_draws_identical_tokens():
+    """The 3-probe bisection variant (HQT_SAMPLE_BISECT3) must draw the
+    SAME tokens as the binary loop: both land the threshold in
+    (v_{k+1}, v_k], so kept-set membership — the only thing the draw
+    depends on — is identical, and the uniforms are shared."""
+    rng = np.random.RandomState(4)
+    logits = jnp.asarray(rng.randn(48, 384).astype(np.float32) * 3)
+    for k in (1, 7, 96, 384):
+        for seed in (0, 1):
+            a = sample_topk_pallas(jax.random.PRNGKey(seed), logits,
+                                   top_k=k, interpret=True, bisect3=False)
+            b = sample_topk_pallas(jax.random.PRNGKey(seed), logits,
+                                   top_k=k, interpret=True, bisect3=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f'k={k} seed={seed}')
+
+
+def test_bisect3_kept_set_exact():
+    rng = np.random.RandomState(5)
+    logits = jnp.asarray(rng.randn(32, 300).astype(np.float32) * 2)
+    filt = cutoff_topk_logits(logits, 40, use_bisect=False)
+    for seed in range(5):
+        out = sample_topk_pallas(jax.random.PRNGKey(seed), logits,
+                                 top_k=40, interpret=True, bisect3=True)
+        vals = jnp.take_along_axis(filt, out[:, None], axis=-1)
+        assert bool((vals > -1e9).all()), seed
