@@ -52,8 +52,15 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
             f'code_levels={code_levels}', f'n_loop={n_loop}',
             f'samples_per_loop={samples_per_loop}', f'serving={serving}']
     t0 = time.time()
-    p = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
-                       timeout=3600)
+    # inner timeout deliberately below the queue's shell timeout so a hung
+    # row is reaped HERE (partial PERF.json still written) rather than the
+    # whole process being SIGTERM'd from outside
+    try:
+        p = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
+                           timeout=3300)
+    except subprocess.TimeoutExpired:
+        return {'model': name, 'config': config, 'batch': batch,
+                'error': 'timeout', 'detail': 'row exceeded 3300s'}
     if p.returncode != 0:
         return {'model': name, 'config': config, 'batch': batch,
                 'error': f'rc={p.returncode}',

@@ -46,13 +46,13 @@ run bench_bisect3 3600 env HQT_SAMPLE_BISECT3=1 BENCH_SKIP_BS50=1 \
     python bench.py
 
 # 3) family table -> PERF.json (l12 first; each row is its own compile)
-run family_l12 3600 python scripts/bench_family.py --rows l12
-run family_l12i8 3600 python scripts/bench_family.py --rows l12-int8
-run family_l24 3600 python scripts/bench_family.py --rows l24
-run family_l42 3600 python scripts/bench_family.py --rows l42
-run family_l3  3600 python scripts/bench_family.py --rows l12-level3
-run family_ffhq 3600 python scripts/bench_family.py --rows l24-ffhq
-run family_txt 3600 python scripts/bench_family.py --rows l12-cc15m-txt
+run family_l12 4200 python scripts/bench_family.py --rows l12
+run family_l12i8 4200 python scripts/bench_family.py --rows l12-int8
+run family_l24 4200 python scripts/bench_family.py --rows l24
+run family_l42 4200 python scripts/bench_family.py --rows l42
+run family_l3  4200 python scripts/bench_family.py --rows l12-level3
+run family_ffhq 4200 python scripts/bench_family.py --rows l24-ffhq
+run family_txt 4200 python scripts/bench_family.py --rows l12-cc15m-txt
 
 # 4) int8-decode static e2e at flagship shapes (VERDICT #2)
 run int8_decode 3600 python scripts/measure_int8_decode.py --batch 512
