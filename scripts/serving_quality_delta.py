@@ -73,8 +73,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # quantization math is platform-independent: force CPU regardless of
+    # the box's sitecustomize JAX_PLATFORMS=axon (this harness should
+    # never contend for — or hang on — the tunneled TPU); opt out with
+    # HQT_QUALITY_PLATFORM=axon to run on-device
     jax.config.update('jax_platforms',
-                      os.environ.get('JAX_PLATFORMS', 'cpu') or 'cpu')
+                      os.environ.get('HQT_QUALITY_PLATFORM', 'cpu') or 'cpu')
     import jax.numpy as jnp
 
     from hqtransformer_tpu.checkpoint import latest_step, restore_checkpoint
