@@ -8,8 +8,20 @@ OUT=${1:-/tmp/tpu_r4}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# global guards: `touch $OUT/STOP` skips every not-yet-started job (use
+# before the driver's end-of-round bench so the chip is uncontended), and
+# QUEUE_DEADLINE_S (default 8h from queue start) does the same unattended
+QUEUE_START=$(date +%s)
+DEADLINE=${QUEUE_DEADLINE_S:-28800}
+
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
+  if [ -f "$OUT/STOP" ]; then
+    echo "skip $name (STOP file)" | tee -a "$OUT/queue.log"; return
+  fi
+  if [ $(( $(date +%s) - QUEUE_START )) -gt "$DEADLINE" ]; then
+    echo "skip $name (past deadline)" | tee -a "$OUT/queue.log"; return
+  fi
   echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/queue.log"
   timeout "$t" "$@" > "$OUT/$name.log" 2>&1
   echo "rc=$? $name" | tee -a "$OUT/queue.log"
