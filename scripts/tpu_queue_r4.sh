@@ -75,4 +75,16 @@ for mode in base noattn attnwrite nosample nodepth2; do
   run ablate_$mode 2400 env AB_MODE=$mode python scripts/ablate_ar.py
 done
 
+# 6) batch sweeps: bf16 at 1536/3072, and int8 at 3072 (the int8 KV cache
+# halves the dominant HBM resident, so larger batches fit than in bf16)
+run bench_b1536 3600 env BENCH_BATCH=1536 BENCH_SKIP_BS50=1 \
+    BENCH_SKIP_PHASES=1 BENCH_SKIP_INT8=1 BENCH_TOTAL_TIMEOUT_S=3300 \
+    python bench.py
+run bench_b3072 3600 env BENCH_BATCH=3072 BENCH_SKIP_BS50=1 \
+    BENCH_SKIP_PHASES=1 BENCH_SKIP_INT8=1 BENCH_TOTAL_TIMEOUT_S=3300 \
+    python bench.py
+run bench_int8_b3072 3600 env BENCH_BATCH=3072 BENCH_INT8_STAGE2=1 \
+    BENCH_INT8_SPATIAL=1 BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 \
+    BENCH_TOTAL_TIMEOUT_S=3300 python bench.py
+
 echo "queue done ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
