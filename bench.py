@@ -368,18 +368,24 @@ def main():
             sampler_q = model.make_pipelined_sampler(
                 params=sp, cache_dtype=jnp.int8, n_segments=n_seg,
                 attention=os.environ.get('BENCH_ATTENTION', 'auto'))
+            # the int8 KV cache halves the dominant HBM resident, so the
+            # int8 section may run at a LARGER batch than the bf16 primary
+            # (calibration above is batch-independent: 128-row slices)
+            batch_q = int(os.environ.get('BENCH_INT8_BATCH', batch))
+            labels_q = jnp.arange(batch_q, dtype=jnp.int32) % 1000
             key, k = jax.random.split(key)
-            codes_q, px = sampler_q(v_q, k, labels, None)
+            codes_q, px = sampler_q(v_q, k, labels_q, None)
             force(px)
             t_q = []
             for _ in range(n_loops):
                 key, k = jax.random.split(key)
                 t0 = time.perf_counter()
-                codes_q, px = sampler_q(v_q, k, labels, codes_q)
+                codes_q, px = sampler_q(v_q, k, labels_q, codes_q)
                 force(px)
                 t_q.append(time.perf_counter() - t0)
-            sps_q = batch / min(t_q)
+            sps_q = batch_q / min(t_q)
             int8 = {'samples_per_sec': round(sps_q, 3),
+                    'batch': batch_q,
                     'vs_bf16': round(sps_q / samples_per_sec, 3),
                     'vs_baseline': round(sps_q / BASELINE_SAMPLES_PER_SEC,
                                          3)}

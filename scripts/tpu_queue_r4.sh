@@ -83,7 +83,7 @@ run bench_b1536 3600 env BENCH_BATCH=1536 BENCH_SKIP_BS50=1 \
 run bench_b3072 3600 env BENCH_BATCH=3072 BENCH_SKIP_BS50=1 \
     BENCH_SKIP_PHASES=1 BENCH_SKIP_INT8=1 BENCH_TOTAL_TIMEOUT_S=3300 \
     python bench.py
-run bench_int8_b3072 3600 env BENCH_BATCH=3072 BENCH_INT8_STAGE2=1 \
+run bench_int8_b3072 3600 env BENCH_INT8_BATCH=3072 BENCH_INT8_STAGE2=1 \
     BENCH_INT8_SPATIAL=1 BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 \
     BENCH_TOTAL_TIMEOUT_S=3300 python bench.py
 
