@@ -75,6 +75,13 @@ for mode in base noattn attnwrite nosample nodepth2; do
   run ablate_$mode 2400 env AB_MODE=$mode python scripts/ablate_ar.py
 done
 
+# 5b) ROW_CHUNK sweep under int8 KV (half the bytes per chunk shifts the
+# DMA-issue vs prefix-skip tradeoff; 8 was tuned for bf16)
+run ablate_int8kv_rc16 2400 env AB_KV=int8 HQT_ATTN_ROW_CHUNK=16 \
+    python scripts/ablate_ar.py
+run ablate_int8kv_rc32 2400 env AB_KV=int8 HQT_ATTN_ROW_CHUNK=32 \
+    python scripts/ablate_ar.py
+
 # 6) batch sweeps: bf16 at 1536/3072, and int8 at 3072 (the int8 KV cache
 # halves the dominant HBM resident, so larger batches fit than in bf16)
 run bench_b1536 3600 env BENCH_BATCH=1536 BENCH_SKIP_BS50=1 \
