@@ -36,8 +36,10 @@ def parse_kv_args(argv):
                samples_per_loop=1000,  # reference protocol value; lower it
                                        # only for CI smoke runs
                serving='bf16',  # bf16 | int8 (calibrated int8 KV cache +
-                                # A8W8 decode; 2-level bf16 models only —
-                                # quality: docs/serving.md)
+                                # A8W8 decode) | int8max (int8 + A8W8
+                                # depth-chain AND spatial gemms); 2-level
+                                # bf16 models only — quality table:
+                                # docs/serving.md
                profile='')  # dir for a jax.profiler trace of one loop
     for a in argv:
         k, v = a.split('=', 1)
@@ -70,7 +72,7 @@ def main():
 
     if a['code_levels'] == 2:
         cache_dtype = dtype
-        if a['serving'] == 'int8':
+        if a['serving'] in ('int8', 'int8max'):
             assert dtype == jnp.bfloat16 and a['code_levels'] == 2, \
                 'serving=int8 needs dtype=bfloat16 code_levels=2'
             # calibrated int8 KV cache + A8W8 decode (docs/serving.md)
@@ -94,8 +96,18 @@ def main():
                 variables, ct0.reshape(-1, tr, tr),
                 cells_to_raster(cb0, tr, model.cell_win).reshape(-1, r, r))
             cache_dtype = jnp.int8
+            if a['serving'] == 'int8max':
+                # + A8W8 depth-chain and spatial transformer gemms
+                # (calibrated static scales; int8_max row of the quality
+                # table in docs/serving.md)
+                os.environ['HQT_INT8_STAGE2'] = '1'
+                os.environ['HQT_INT8_SPATIAL'] = '1'
+                variables = model.calibrate_stage2_int8(
+                    variables, ct0,
+                    cells_to_raster(cb0, tr, model.cell_win).reshape(
+                        ct0.shape[0], -1), cal_labels)
         # int8 caches exist only in the packed layout, so force it there
-        attn = 'packed' if a['serving'] == 'int8' else 'auto'
+        attn = 'packed' if a['serving'] in ('int8', 'int8max') else 'auto'
         ar_sampler = make_hierarchical_sampler(
             model.stage2, Ttop, SamplingParams(), cache_dtype=cache_dtype,
             attention=attn)

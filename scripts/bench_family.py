@@ -29,6 +29,8 @@ ROWS = {
             2048, 'cls', 2),
     'l12-int8': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
                  2048, 'cls', 2, 'int8'),
+    'l12-int8max': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
+                    2048, 'cls', 2, 'int8max'),
     'l24': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
             1024, 'cls', 2),
     'l42': ('configs/imagenet/stage2/hqtransformer-l42-top8x8.yaml',

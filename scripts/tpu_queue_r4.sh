@@ -60,6 +60,7 @@ run bench_bisect3 3600 env HQT_SAMPLE_BISECT3=1 BENCH_SKIP_BS50=1 \
 # 3) family table -> PERF.json (l12 first; each row is its own compile)
 run family_l12 4200 python scripts/bench_family.py --rows l12
 run family_l12i8 4200 python scripts/bench_family.py --rows l12-int8
+run family_l12i8m 4200 python scripts/bench_family.py --rows l12-int8max
 run family_l24 4200 python scripts/bench_family.py --rows l24
 run family_l42 4200 python scripts/bench_family.py --rows l42
 run family_l3  4200 python scripts/bench_family.py --rows l12-level3
