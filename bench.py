@@ -353,12 +353,14 @@ def main():
                                  model.cell_win).reshape(-1, r, r)
             os.environ['HQT_INT8_DECODE'] = '1'
             v_q = model.calibrate_int8_decode(v_q, ct, cb)
-            if os.environ.get('BENCH_INT8_STAGE2') == '1':
-                # also run the depth-chain gemms A8W8 (quality: the
-                # int8_max row of scripts/serving_quality_delta.py);
-                # BENCH_INT8_SPATIAL=1 extends to the spatial gemms
+            if os.environ.get('BENCH_INT8_STAGE2', '1') == '1':
+                # also run the depth-chain gemms A8W8 — ON by default:
+                # measured 2026-08-18 on the real chip, KV+decode+all-gemm
+                # scopes = 589.4 samples/s vs 525.7 for KV+decode only,
+                # with quality within ±0.5% of the float path (int8_max
+                # row of scripts/serving_quality_delta.py, docs/serving.md)
                 os.environ['HQT_INT8_STAGE2'] = '1'
-                if os.environ.get('BENCH_INT8_SPATIAL') == '1':
+                if os.environ.get('BENCH_INT8_SPATIAL', '1') == '1':
                     os.environ['HQT_INT8_SPATIAL'] = '1'
                 n_cal = min(128, batch)
                 v_q = model.calibrate_stage2_int8(

@@ -106,6 +106,13 @@ def main():
                     variables, ct0,
                     cells_to_raster(cb0, tr, model.cell_win).reshape(
                         ct0.shape[0], -1), cal_labels)
+            # the calibration passes above compiled their own bf16-cache
+            # sampler + calibration programs; drop those executables before
+            # compiling the two batch_size-sized measurement programs, or
+            # their arenas push a bs-2048 int8 run out of HBM
+            # (RESOURCE_EXHAUSTED observed on the 16 GB chip)
+            del ct0, cb0
+            jax.clear_caches()
         # int8 caches exist only in the packed layout, so force it there
         attn = 'packed' if a['serving'] in ('int8', 'int8max') else 'auto'
         ar_sampler = make_hierarchical_sampler(
