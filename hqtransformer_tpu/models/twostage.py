@@ -403,7 +403,7 @@ class TwoStageModel:
                                       top_p=(None, None, None),
                                       temperature=(1.0, 1.0, 1.0),
                                       cache_dtype=None,
-                                      n_segments: int = 2,
+                                      n_segments: int = 1,
                                       decode_chunk: int = 128):
         """Jitted 3-level end-to-end sampler: labels -> pixels in [0, 1]
         (the `sampling_level3` path, `sampling_hqmodel.py:124-153`).

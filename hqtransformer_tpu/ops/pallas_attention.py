@@ -44,6 +44,10 @@ NEG_INF = -1e10
 # (scalar-core issue cost dominates at large batch) but coarser prefix-skip
 import os as _os
 ROW_CHUNK = int(_os.environ.get('HQT_ATTN_ROW_CHUNK', '8'))
+# batch-tile override for sweeps (0 = auto: largest of 32/64/16/8 dividing
+# B; 32 measured fastest at flagship bf16 shapes — the int8 KV cache halves
+# the DMA per tile, which can shift the optimum)
+BLOCK_B = int(_os.environ.get('HQT_ATTN_BLOCK_B', '0'))
 
 
 def _kernel(scalars_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
@@ -211,6 +215,8 @@ def decode_attention_step(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     pos < t_compute; rows at/beyond t_compute are never read or written."""
     B, D = q.shape
     L, T, _, _ = k_cache.shape
+    if block_b == 0 and BLOCK_B and B % BLOCK_B == 0:
+        block_b = BLOCK_B
     if block_b == 0:
         # 32 measured fastest at flagship shapes (3.25 vs 3.57 ms/step @64)
         block_b = next((bb for bb in (32, 64, 16, 8) if B % bb == 0), None)

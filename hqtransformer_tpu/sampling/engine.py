@@ -449,10 +449,17 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                             top_p=(None, None, None),
                             temperature=(1.0, 1.0, 1.0),
                             cache_dtype=None,
-                            n_segments: int = 2,
+                            n_segments: int = 1,
                             attention: str = 'auto'):
     """Jitted sampler for the 3-level model (`sampling_hqtransformer`,
     `hqvae/utils/sampling.py:240-307` + `hqtransformer.py:409-635`).
+
+    `n_segments` defaults to 1 here (unlike the 2-level sampler): the
+    segmented scan measured SLOWER for this model on the real chip —
+    6.56 ms/sample at 2 segments vs 6.04 unsegmented (bs256 flagship
+    level-3, 2026-08-18) — the 3-level step is dominated by the 3 depth
+    phase passes, so shrinking early-step attention compute buys less
+    than the second compiled scan body costs.
 
     Returns fn(variables, key, labels) -> (tops [B, L], mids [B, L, 4],
     bots [B, L, 16]) with mids/bots in local raster order per top cell.

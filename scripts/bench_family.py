@@ -33,8 +33,12 @@ ROWS = {
                     2048, 'cls', 2, 'int8max'),
     'l24': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
             1024, 'cls', 2),
+    'l24-int8max': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
+                    1024, 'cls', 2, 'int8max'),
     'l42': ('configs/imagenet/stage2/hqtransformer-l42-top8x8.yaml',
             384, 'cls', 2),
+    'l42-int8max': ('configs/imagenet/stage2/hqtransformer-l42-top8x8.yaml',
+                    384, 'cls', 2, 'int8max'),
     'l12-level3': ('configs/imagenet/stage2/'
                    'hqtransformer-l12-top8x8-level3.yaml', 256, 'cls', 3),
     'l24-ffhq': ('configs/ffhq/stage2/hqtransformer-l24-ffhq.yaml',
