@@ -69,7 +69,10 @@ _EARLY_EXIT = _os.environ.get('HQT_SAMPLE_EARLY_EXIT', '0') == '1'
 # tolerance as 26 binary passes. Same kept-set guarantee (final lo lands
 # in (v_{k+1}, v_k], exact count==k hits freeze a row early); trades ~1.5x
 # more VPU compare/add work for HALF the per-pass fixed cost. A/B lever
-# for the fused sampler's 3.9 ms/step (scripts/ablate_ar.py).
+# for the fused sampler's ~3.5 ms/step (scripts/ablate_ar.py). Measured
+# e2e A/B on v5e (2026-08-18, flagship bs2048): 425.6 vs 428.1 samples/s
+# — neutral-to-slightly-negative (the extra VPU work cancels the saved
+# passes), so it stays opt-in and off by default.
 _BISECT3 = _os.environ.get('HQT_SAMPLE_BISECT3', '0') == '1'
 BISECT3_ITERS = 13  # 44 / 4^13 == 44 / 2^26
 

@@ -10,10 +10,14 @@ qkv+cache writes, skip attention math) | nodepth2 (skip the depth-second
 chain + head_bot) | nosample (argmax instead of the fused sampler) |
 noembed | nodfirst.  BENCH_BATCH sets the batch (default 2048).
 
-Measured deltas at B=2048 vs base 40.2 ms/step (2026-08, v5e): attention
-10.75 (of which cache writes ~0.5, qkv ~2.4), depth-second chain 14.51
-(= its 2.06 TFLOP/step at the 142 TF/s ceiling), sampling 3.90, embed
-0.71, depth-first+head_top 2.93.
+Measured deltas at B=2048 vs base 39.21 ms/step (re-derived 2026-08-18,
+v5e): attention total 9.79 (8.09 of score/AV math + cache DMA reads,
+1.70 of qkv + cache writes), depth-second chain 14.64 (= its 2.06
+TFLOP/step at the 142 TF/s ceiling), sampling 3.53, embed ~0.7 and
+depth-first+head_top ~2.9 (earlier probes). AB_KV=int8 (calibrated int8
+KV cache) cuts the base step to 36.60 ms (-2.61 ms/step, AR 1.206 ->
+1.126 ms/sample); HQT_ATTN_ROW_CHUNK sweep under int8 KV: 16 ties the
+default 8 (1.123 vs 1.126), 32 is worse (1.148).
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
