@@ -54,4 +54,11 @@ run sweep_bb16   3000 $SWEEP HQT_ATTN_BLOCK_B=16 python bench.py
 run sweep_rc16   3000 $SWEEP HQT_ATTN_ROW_CHUNK=16 python bench.py
 run sweep_b4096  3000 $SWEEP BENCH_INT8_BATCH=4096 python bench.py
 
+# 3) bf16 batch refinement around the measured 1536 optimum (b1536 gave
+#    432.8/s vs 428.1 at 2048 in the r4 queue) + int8max at 1536
+BFS="env BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 BENCH_SKIP_INT8=1 BENCH_TOTAL_TIMEOUT_S=2400"
+run sweep_bf16_b1024 2700 $BFS BENCH_BATCH=1024 python bench.py
+run sweep_bf16_b1792 2700 $BFS BENCH_BATCH=1792 python bench.py
+run sweep_int8_b1536 3000 $SWEEP BENCH_INT8_BATCH=1536 python bench.py
+
 echo "queue done ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
