@@ -143,7 +143,9 @@ def main():
         _fail('run_timeout', f'bench did not finish within {t:.0f}s')
 
     threading.Thread(target=run_watchdog, daemon=True).start()
-    batch = int(os.environ.get('BENCH_BATCH', '2048'))
+    # bf16 batch sweep (v5e, 2026-08-18): 1536 → 432.8/s, 2048 → 428.1/s,
+    # 3072 → OOM; 1536 is the measured optimum for the bf16 pipeline
+    batch = int(os.environ.get('BENCH_BATCH', '1536'))
     n_seg = int(os.environ.get('BENCH_SEGMENTS', '4'))
     n_loops = int(os.environ.get('BENCH_LOOPS', '3'))
 
@@ -372,8 +374,12 @@ def main():
                 attention=os.environ.get('BENCH_ATTENTION', 'auto'))
             # the int8 KV cache halves the dominant HBM resident, so the
             # int8 section may run at a LARGER batch than the bf16 primary
-            # (calibration above is batch-independent: 128-row slices)
-            batch_q = int(os.environ.get('BENCH_INT8_BATCH', batch))
+            # (calibration above is batch-independent: 128-row slices).
+            # Default 2048 = the int8max measured optimum; an explicit
+            # BENCH_BATCH override (smokes, sweeps) scales it down too.
+            batch_q_default = batch if 'BENCH_BATCH' in os.environ else 2048
+            batch_q = int(os.environ.get('BENCH_INT8_BATCH',
+                                         str(batch_q_default)))
             labels_q = jnp.arange(batch_q, dtype=jnp.int32) % 1000
             key, k = jax.random.split(key)
             codes_q, px = sampler_q(v_q, k, labels_q, None)
