@@ -107,8 +107,20 @@ def _wait_for_backend():
     armed.set()
 
     def watchdog():
-        t = float(os.environ.get('BENCH_INIT_TIMEOUT_S', '900'))
-        time.sleep(t)
+        # a wedged lease can clear after tens of minutes (observed live on
+        # 2026-08-19: HTTP up, ops hanging) — waiting out up to 2400s still
+        # leaves ~3000s of the 5400s total budget, enough for the primary
+        # bf16 metric + int8 section; only then concede with an artifact
+        t = float(os.environ.get('BENCH_INIT_TIMEOUT_S', '2400'))
+        step = 120.0
+        waited = 0.0
+        while waited < t:
+            time.sleep(step)
+            waited += step
+            if not armed.is_set():
+                return
+            print(f'bench: first device op still pending after '
+                  f'{waited:.0f}s (wedged TPU lease?)', file=sys.stderr)
         if armed.is_set():
             _fail('backend_hang',
                   f'first device op did not complete in {t:.0f}s '
