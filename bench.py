@@ -108,13 +108,15 @@ def _wait_for_backend():
 
     def watchdog():
         # a wedged lease can clear after tens of minutes (observed live on
-        # 2026-08-19: HTTP up, ops hanging) — waiting out up to 2400s still
-        # leaves ~3000s of the 5400s total budget, enough for the primary
-        # bf16 metric + int8 section; only then concede with an artifact
+        # 2026-08-19: HTTP up, ops hanging) — wait it out up to
+        # BENCH_INIT_TIMEOUT_S before conceding with an artifact. The init
+        # wait is DEDUCTED from the total run budget (run_watchdog below
+        # measures from _START_TIME), so worst case the artifact lands at
+        # max(init, total) seconds, not init + total.
         t = float(os.environ.get('BENCH_INIT_TIMEOUT_S', '2400'))
-        step = 120.0
         waited = 0.0
         while waited < t:
+            step = min(120.0, t - waited)
             time.sleep(step)
             waited += step
             if not armed.is_set():
@@ -131,6 +133,7 @@ def _wait_for_backend():
 
 
 def main():
+    start = time.time()
     disarm = _wait_for_backend()
 
     import jax
@@ -148,10 +151,12 @@ def main():
     disarm()
 
     # whole-run watchdog: a TPU lease that wedges MID-run (or a compile that
-    # never returns) must still leave a diagnosable artifact
+    # never returns) must still leave a diagnosable artifact. The budget is
+    # measured from process start, so time already burned waiting out a
+    # wedged lease in _wait_for_backend counts against it.
     def run_watchdog():
         t = float(os.environ.get('BENCH_TOTAL_TIMEOUT_S', '5400'))
-        time.sleep(t)
+        time.sleep(max(0.0, t - (time.time() - start)))
         _fail('run_timeout', f'bench did not finish within {t:.0f}s')
 
     threading.Thread(target=run_watchdog, daemon=True).start()

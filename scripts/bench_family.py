@@ -65,13 +65,17 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
     t0 = time.time()
     # inner timeout deliberately below the queue's shell timeout so a hung
     # row is reaped HERE (partial PERF.json still written) rather than the
-    # whole process being SIGTERM'd from outside
+    # whole process being SIGTERM'd from outside. Queues running under a
+    # tighter shell `timeout` MUST set BENCH_ROW_TIMEOUT_S below it, or the
+    # reap order inverts and the TPU child is killed mid-run (lease-wedge
+    # risk per CLAUDE.md).
+    row_timeout = float(os.environ.get('BENCH_ROW_TIMEOUT_S', '3300'))
     try:
         p = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
-                           timeout=3300)
+                           timeout=row_timeout)
     except subprocess.TimeoutExpired:
         return {'model': name, 'config': config, 'batch': batch,
-                'error': 'timeout', 'detail': 'row exceeded 3300s'}
+                'error': 'timeout', 'detail': f'row exceeded {row_timeout}s'}
     if p.returncode != 0:
         return {'model': name, 'config': config, 'batch': batch,
                 'error': f'rc={p.returncode}',

@@ -44,16 +44,26 @@ grep -q "lease ok" "$OUT/waiter.log" || {
   echo "waiter failed" | tee -a "$OUT/queue.log"; exit 1; }
 echo "lease recovered ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
 
-# 1) the two error rows in PERF.json, flagship first
-run family_l12i8m 1500 python scripts/bench_family.py --rows l12-int8max
-run family_l12i8  1200 python scripts/bench_family.py --rows l12-int8
+# 1) the two error rows in PERF.json, flagship first. BENCH_ROW_TIMEOUT_S
+# keeps the row subprocess's inner reap BELOW the queue's shell timeout so
+# a hung row is reaped inside bench_family.py (partial PERF.json survives,
+# no SIGTERM of a live TPU child).
+run family_l12i8m 1500 env BENCH_ROW_TIMEOUT_S=1350 \
+    python scripts/bench_family.py --rows l12-int8max
+run family_l12i8  1200 env BENCH_ROW_TIMEOUT_S=1080 \
+    python scripts/bench_family.py --rows l12-int8
 
-# 2) new-defaults bench validation (bf16 e2e @1536 + int8max @2048)
+# 2) new-defaults bench validation (bf16 e2e @1536 + int8max @2048).
+# BENCH_INIT_TIMEOUT_S below the shell timeout so a re-wedged lease is
+# conceded by bench.py's own watchdog (JSON artifact emitted) rather than
+# the shell SIGTERM-ing a hanging TPU process.
 run bench_defaults 1500 env BENCH_SKIP_BS50=1 BENCH_SKIP_PHASES=1 \
-    BENCH_TOTAL_TIMEOUT_S=1350 python bench.py
+    BENCH_TOTAL_TIMEOUT_S=1350 BENCH_INIT_TIMEOUT_S=1200 python bench.py
 
 # 3) extend int8max across the family
-run family_l24i8m 1200 python scripts/bench_family.py --rows l24-int8max
-run family_l42i8m 1200 python scripts/bench_family.py --rows l42-int8max
+run family_l24i8m 1200 env BENCH_ROW_TIMEOUT_S=1080 \
+    python scripts/bench_family.py --rows l24-int8max
+run family_l42i8m 1200 env BENCH_ROW_TIMEOUT_S=1080 \
+    python scripts/bench_family.py --rows l42-int8max
 
 echo "queue done ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
