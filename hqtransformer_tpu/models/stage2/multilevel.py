@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from ...config import Stage2Hparams, parse_embedding_type
 from ...ops import masks as M
-from .layers import Block
+from .layers import Block, QuantizableDense
 
 
 def _normal_init(std=0.02):
@@ -216,9 +216,12 @@ class MultiLevelHQTransformer(nn.Module):
         self.ln_levels = [nn.LayerNorm(epsilon=1e-5, name=f'ln_levels_{i}',
                                        dtype=self.dtype)
                           for i in range(self.code_level)]
-        self.head_levels = [nn.Dense(v, use_bias=False,
-                                     name=f'head_levels_{i}',
-                                     dtype=self.dtype)
+        # QuantizableDense (identical params to nn.Dense): the per-level
+        # heads are part of the depth-phase chain, the int8_stage2_scope
+        # hot path of serving=int8max (mirrors the 2-level head_bot)
+        self.head_levels = [QuantizableDense(v, use_bias=False,
+                                             name=f'head_levels_{i}',
+                                             dtype=self.dtype)
                             for i, v in enumerate(self.vocab_sizes)]
 
     # ------------------------------------------------------------ embedding

@@ -223,8 +223,7 @@ class TwoStageModel:
         return {**variables,
                 'stage1': {**variables['stage1'], 'act_scales': scales}}
 
-    def calibrate_stage2_int8(self, variables: Dict, codes_t, codes_b,
-                              labels) -> Dict:
+    def calibrate_stage2_int8(self, variables: Dict, *forward_args) -> Dict:
         """Static activation scales for the opt-in A8W8 depth-chain gemms
         (HQT_INT8_STAGE2=1; see stage2/layers.QuantizableDense): run the
         stage-2 training forward — the depth blocks see the same
@@ -232,12 +231,15 @@ class TwoStageModel:
         teacher-forced codes, recording each Dense input's absmax, and
         return `variables` with stage2 extended by 'act_scales'. Same PTQ
         recipe as calibrate_int8_decode; widen over several batches with
-        jax.tree.map(jnp.maximum, ...)."""
+        jax.tree.map(jnp.maximum, ...).
+
+        `forward_args` are the stage-2 training-forward arguments:
+        (codes_t, codes_b, labels) for the 2-level HierarchicalGPT,
+        (codes_list, labels) for the 3-level MultiLevelHQTransformer."""
         from .stage1.layers import (int8_calibration_scope,
                                     int8_scales_from_calib)
         with int8_calibration_scope():
-            _, col = self.stage2.apply(variables['stage2'], codes_t,
-                                       codes_b, labels,
+            _, col = self.stage2.apply(variables['stage2'], *forward_args,
                                        mutable=['int8_calib'])
         scales = int8_scales_from_calib(col['int8_calib'])
         return {**variables,
@@ -261,10 +263,16 @@ class TwoStageModel:
         saturate. Call on more batches and merge with
         jax.tree.map(jnp.maximum, ...) to widen. No reference analogue (its
         sampling attention runs fp16 autocast, `hierarchical_ar.py:445`)."""
-        assert isinstance(self.stage2, HierarchicalGPT)
         Ttop = max_seq_len or self.top_res * self.top_res
-        sampler = make_hierarchical_sampler(self.stage2, Ttop, params,
-                                            _return_caches=True)
+        if isinstance(self.stage2, HierarchicalGPT):
+            sampler = make_hierarchical_sampler(self.stage2, Ttop, params,
+                                                _return_caches=True)
+        else:
+            from ..sampling.engine import make_multilevel_sampler
+            from .stage2.multilevel import MultiLevelHQTransformer
+            assert isinstance(self.stage2, MultiLevelHQTransformer)
+            sampler = make_multilevel_sampler(self.stage2, Ttop,
+                                              _return_caches=True)
         _, (kc, vc) = sampler(variables['stage2'], key, labels)
 
         def channel_absmax(c):
@@ -404,7 +412,8 @@ class TwoStageModel:
                                       temperature=(1.0, 1.0, 1.0),
                                       cache_dtype=None,
                                       n_segments: int = 1,
-                                      decode_chunk: int = 128):
+                                      decode_chunk: int = 128,
+                                      attention: str = 'auto'):
         """Jitted 3-level end-to-end sampler: labels -> pixels in [0, 1]
         (the `sampling_level3` path, `sampling_hqmodel.py:124-153`).
 
@@ -419,7 +428,8 @@ class TwoStageModel:
         sampler = make_multilevel_sampler(self.stage2, Ttop, top_k, top_p,
                                           temperature,
                                           cache_dtype=cache_dtype,
-                                          n_segments=n_segments)
+                                          n_segments=n_segments,
+                                          attention=attention)
         top_res = int(math.isqrt(Ttop))
 
         def decode(variables, codes):

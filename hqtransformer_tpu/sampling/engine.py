@@ -342,6 +342,143 @@ def make_hierarchical_sampler(model: HierarchicalGPT,
     return jax.jit(sample)
 
 
+def make_hierarchical_scorer(model: HierarchicalGPT,
+                             max_seq_len: int = 64,
+                             cache_dtype=None,
+                             n_segments: int = 2,
+                             attention: str = 'auto'):
+    """Teacher-forced per-step logits through the SERVING decode path.
+
+    Returns fn(variables, labels, codes_t [B, L], codes_b_cells [B, L, r])
+      -> (logits_top [B, L, Vt], logits_bot [B, L, r, Vb]).
+
+    Mathematically this equals the training forward (`hierarchical_ar.py:
+    246-426`), but it is computed through the exact serving machinery the
+    sampler uses — prefill, packed/einsum KV-cache spatial steps, the
+    depth-first/second chain, and (when enabled) the int8 KV cache and the
+    scoped A8W8 gemms — so differences between two serving modes' outputs
+    measure the true serving-path numerics (per-step logit KL), including
+    errors the training forward never sees (e.g. int8 KV rounding).
+
+    Depth mode 'parallel' only (the released-checkpoint family).
+    """
+    assert model.depth_mode == 'parallel', model.depth_mode
+    hp = model.hparams
+    n_heads = hp.n_heads
+    hd = hp.embed_dim // n_heads
+    n_layers = hp.n_layers
+    sos_len = hp.ctx_len_txt if model.use_txt_cond else 1
+    r = model.ratio_bot2top
+    n = model.num_bottom_pred
+    n_groups = r // n
+
+    bounds = []
+    prev = 1
+    for si in range(n_segments):
+        end = max_seq_len * (si + 1) // n_segments if si < n_segments - 1 \
+            else max_seq_len
+        if end > prev:
+            bounds.append((prev, end))
+            prev = end
+    if not bounds:
+        bounds = [(1, max_seq_len)]
+
+    def score(variables, labels, codes_t, codes_b_cells):
+        import contextlib
+        import os
+
+        from ..models.stage2.layers import int8_stage2_scope
+
+        spatial_scope = (int8_stage2_scope
+                         if os.environ.get('HQT_INT8_SPATIAL') == '1'
+                         else contextlib.nullcontext)
+
+        def depth_logits(h, ct_i, cb_i):
+            """h: [B, D]; ct_i: [B]; cb_i: [B, r] (local raster order).
+            Teacher-forced mirror of _depth_sample_parallel."""
+            logits_top, kv = model.apply(
+                variables, h, method=HierarchicalGPT.depth_first_logits)
+            prev_codes = ct_i[:, None]
+            lbs = []
+            for g in range(1, n_groups + 1):
+                with int8_stage2_scope():
+                    lb, kv = model.apply(
+                        variables, prev_codes, kv, g,
+                        method=HierarchicalGPT.depth_second_logits)
+                lbs.append(lb)
+                prev_codes = cb_i[:, (g - 1) * n:g * n]
+            return logits_top, jnp.concatenate(lbs, axis=1)  # [B,Vt],[B,r,Vb]
+
+        B = labels.shape[0]
+        packed = _use_packed_cache(attention, hp.embed_dim, B)
+        sos = model.apply(variables, B, labels,
+                          method=HierarchicalGPT.sos_tokens)
+        cdtype = cache_dtype or sos.dtype
+        if cdtype == jnp.int8:
+            assert packed, "int8 KV caches need the packed cache layout"
+
+        def packed_t(t):
+            from ..ops.pallas_attention import ROW_CHUNK
+            return -(-t // ROW_CHUNK) * ROW_CHUNK
+
+        if packed:
+            kc = jnp.zeros((n_layers,
+                            packed_t(sos_len + max_seq_len - 1), B,
+                            hp.embed_dim), cdtype)
+        else:
+            kc = jnp.zeros(kv_cache_shape(
+                n_layers, B, n_heads, sos_len + bounds[0][1] - 1, hd),
+                cdtype)
+        vc = jnp.zeros_like(kc)
+
+        with spatial_scope():
+            h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
+                                        method=HierarchicalGPT.spatial_step)
+        lt0, lb0 = depth_logits(h_all[:, -1], codes_t[:, 0],
+                                codes_b_cells[:, 0])
+
+        def make_body(t_compute):
+            def body(carry, i):
+                kc, vc = carry
+                x = model.apply(variables, codes_t[:, i - 1],
+                                codes_b_cells[:, i - 1],
+                                jnp.full((B,), i - 1, jnp.int32),
+                                method=HierarchicalGPT.embed_cell_step)
+                with spatial_scope():
+                    h, kc, vc = model.apply(
+                        variables, x, kc, vc, sos_len + i - 1,
+                        method=HierarchicalGPT.spatial_step,
+                        t_compute=t_compute)
+                lt, lb = depth_logits(h[:, -1], codes_t[:, i],
+                                      codes_b_cells[:, i])
+                return (kc, vc), (lt, lb)
+            return body
+
+        carry = (kc, vc)
+        all_lt, all_lb = [lt0[:, None]], [lb0[:, None]]
+        for seg_i, (lo, hi) in enumerate(bounds):
+            if seg_i > 0 and not packed:
+                kc, vc = carry
+                seg_t = sos_len + hi - 1
+                kc_big = jnp.zeros(kv_cache_shape(
+                    n_layers, B, n_heads, seg_t, hd), cdtype)
+                vc_big = jnp.zeros_like(kc_big)
+                kc_big = jax.lax.dynamic_update_slice(
+                    kc_big, kc, (0, 0, 0, 0, 0))
+                vc_big = jax.lax.dynamic_update_slice(
+                    vc_big, vc, (0, 0, 0, 0, 0))
+                carry = (kc_big, vc_big)
+            body = make_body(packed_t(sos_len + hi - 1) if packed else 0)
+            carry, (lts, lbs) = jax.lax.scan(body, carry,
+                                             jnp.arange(lo, hi))
+            all_lt.append(jnp.moveaxis(lts, 0, 1))   # [B, hi-lo, Vt]
+            all_lb.append(jnp.moveaxis(lbs, 0, 1))   # [B, hi-lo, r, Vb]
+        return (jnp.concatenate(all_lt, axis=1),
+                jnp.concatenate(all_lb, axis=1))
+
+    return jax.jit(score)
+
+
 def make_igpt_sampler(model, max_seq_len: int = 256,
                       top_k: Optional[int] = None,
                       top_p: Optional[float] = None,
@@ -450,7 +587,8 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                             temperature=(1.0, 1.0, 1.0),
                             cache_dtype=None,
                             n_segments: int = 1,
-                            attention: str = 'auto'):
+                            attention: str = 'auto',
+                            _return_caches: bool = False):
     """Jitted sampler for the 3-level model (`sampling_hqtransformer`,
     `hqvae/utils/sampling.py:240-307` + `hqtransformer.py:409-635`).
 
@@ -472,18 +610,29 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
     sos_len = hp.ctx_len_txt if model.use_txt_cond else 1
 
     def depth_sample(variables, h, key):
-        l0 = model.apply(variables, h, None, None, 0, method=ML.depth_phase)
+        # the 3 depth-phase passes are the measured hot spot of the 3-level
+        # step (ar ablation, docs/measurements/r5) — the int8_stage2_scope
+        # hot path: under HQT_INT8_STAGE2=1 with calibrated scales their
+        # gemms run A8W8 (mirrors the 2-level depth-second chain)
+        from ..models.stage2.layers import int8_stage2_scope
+        with int8_stage2_scope():
+            l0 = model.apply(variables, h, None, None, 0,
+                             method=ML.depth_phase)
         key, k0 = jax.random.split(key)
         top = sample_from_logits(k0, l0, temperature=temperature[0],
                                  top_k=top_k[0], top_p=top_p[0])
-        l1 = model.apply(variables, h, top, None, 1, method=ML.depth_phase)
+        with int8_stage2_scope():
+            l1 = model.apply(variables, h, top, None, 1,
+                             method=ML.depth_phase)
         # the 4 mid / 16 bot positions are conditionally independent given
         # the parent codes (`hqtransformer.py:500-635` draws them from one
         # depth pass) — one batched draw per level instead of 4+16 serial
         key, k1 = jax.random.split(key)
         mids = sample_from_logits(k1, l1, temperature=temperature[1],
                                   top_k=top_k[1], top_p=top_p[1])
-        l2 = model.apply(variables, h, top, mids, 2, method=ML.depth_phase)
+        with int8_stage2_scope():
+            l2 = model.apply(variables, h, top, mids, 2,
+                             method=ML.depth_phase)
         key, k2 = jax.random.split(key)
         bots = sample_from_logits(k2, l2, temperature=temperature[2],
                                   top_k=top_k[2], top_p=top_p[2])
@@ -504,12 +653,28 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
         bounds = [(1, max_seq_len)]
 
     def sample(variables, key, labels):
+        import contextlib
+        import os
+
+        from ..models.stage2.layers import int8_stage2_scope
+
+        # HQT_INT8_SPATIAL=1 extends the A8W8 gemms to the spatial steps
+        # AND the cell-embedding transformer (21 tokens/cell — a real cost
+        # here, unlike the 2-level 'reduce' embedding); read at trace time
+        spatial_scope = (int8_stage2_scope
+                         if os.environ.get('HQT_INT8_SPATIAL') == '1'
+                         else contextlib.nullcontext)
+
         B = labels.shape[0]
         packed = _use_packed_cache(attention, hp.embed_dim, B)
         sos = model.apply(variables, B, labels,
                           method=type(model).sos_tokens)
         t_max = sos_len + max_seq_len - 1
         cdtype = cache_dtype or sos.dtype
+        if cdtype == jnp.int8:
+            assert packed, ("int8 KV caches need the packed cache layout; "
+                            "pass attention='packed' (the 'auto' heuristic "
+                            "declined it for this backend/shape)")
 
         def packed_t(t):
             from ..ops.pallas_attention import ROW_CHUNK
@@ -522,21 +687,23 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
             kc = jnp.zeros(kv_cache_shape(n_layers, B, n_heads, t_max, hd),
                            cdtype)
         vc = jnp.zeros_like(kc)
-        h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
-                                    method=type(model).spatial_step)
+        with spatial_scope():
+            h_all, kc, vc = model.apply(variables, sos, kc, vc, 0,
+                                        method=type(model).spatial_step)
         key, k0 = jax.random.split(key)
         top0, mid0, bot0 = depth_sample(variables, h_all[:, -1], k0)
 
         def make_body(t_compute):
             def body(carry, i):
                 kc, vc, top, mid, bot, key = carry
-                x = model.apply(variables, top, mid, bot,
-                                jnp.full((B,), i - 1, jnp.int32),
-                                method=type(model).embed_cell_step)
-                h, kc, vc = model.apply(variables, x, kc, vc,
-                                        sos_len + i - 1,
-                                        method=type(model).spatial_step,
-                                        t_compute=t_compute)
+                with spatial_scope():
+                    x = model.apply(variables, top, mid, bot,
+                                    jnp.full((B,), i - 1, jnp.int32),
+                                    method=type(model).embed_cell_step)
+                    h, kc, vc = model.apply(variables, x, kc, vc,
+                                            sos_len + i - 1,
+                                            method=type(model).spatial_step,
+                                            t_compute=t_compute)
                 key, ki = jax.random.split(key)
                 top_i, mid_i, bot_i = depth_sample(variables, h[:, -1], ki)
                 return ((kc, vc, top_i, mid_i, bot_i, key),
@@ -560,6 +727,9 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
                                axis=1)
         bots = jnp.concatenate([bot0[:, None, :], bots.transpose(1, 0, 2)],
                                axis=1)
+        if _return_caches:
+            # calibration hook (see make_hierarchical_sampler)
+            return (tops, mids, bots), (carry[0], carry[1])
         return tops, mids, bots
 
     return jax.jit(sample)

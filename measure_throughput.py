@@ -37,9 +37,9 @@ def parse_kv_args(argv):
                                        # only for CI smoke runs
                serving='bf16',  # bf16 | int8 (calibrated int8 KV cache +
                                 # A8W8 decode) | int8max (int8 + A8W8
-                                # depth-chain AND spatial gemms); 2-level
-                                # bf16 models only — quality table:
-                                # docs/serving.md
+                                # depth-chain AND spatial gemms); bf16
+                                # 2- and 3-level models, cls and txt cond
+                                # — quality table: docs/serving.md
                profile='')  # dir for a jax.profiler trace of one loop
     for a in argv:
         k, v = a.split('=', 1)
@@ -70,51 +70,62 @@ def main():
     n_iter = (a['samples_per_loop'] + bs - 1) // bs
     Ttop = a['top_resolution'] ** 2
 
-    if a['code_levels'] == 2:
-        cache_dtype = dtype
-        if a['serving'] in ('int8', 'int8max'):
-            assert dtype == jnp.bfloat16 and a['code_levels'] == 2, \
-                'serving=int8 needs dtype=bfloat16 code_levels=2'
-            # calibrated int8 KV cache + A8W8 decode (docs/serving.md)
-            if a['cond'] == 'txt':
-                cal_labels = jnp.zeros(
-                    (min(bs, 256), cfg.stage2.hparams.ctx_len_txt),
-                    jnp.int32)
-            else:
-                cal_labels = jnp.zeros((min(bs, 256),), jnp.int32)
-            variables = model.calibrate_kv_scales(
-                variables, jax.random.PRNGKey(2), cal_labels,
-                max_seq_len=Ttop)
+    cache_dtype = dtype
+    if a['serving'] in ('int8', 'int8max'):
+        assert dtype == jnp.bfloat16, 'serving=int8 needs dtype=bfloat16'
+        # calibrated int8 KV cache + A8W8 decode (docs/serving.md)
+        if a['cond'] == 'txt':
+            cal_labels = jnp.zeros(
+                (min(bs, 256), cfg.stage2.hparams.ctx_len_txt), jnp.int32)
+        else:
+            cal_labels = jnp.zeros((min(bs, 256),), jnp.int32)
+        variables = model.calibrate_kv_scales(
+            variables, jax.random.PRNGKey(2), cal_labels, max_seq_len=Ttop)
+        os.environ['HQT_INT8_DECODE'] = '1'
+        tr = model.top_res
+        if a['code_levels'] == 2:
             _, (ct0, cb0) = model.make_pixel_sampler(max_seq_len=Ttop)(
                 variables, jax.random.PRNGKey(3), cal_labels)
             from hqtransformer_tpu.models.stage2.hierarchical import \
                 cells_to_raster
-            tr = model.top_res
             r = tr * model.cell_win
-            os.environ['HQT_INT8_DECODE'] = '1'
             variables = model.calibrate_int8_decode(
                 variables, ct0.reshape(-1, tr, tr),
                 cells_to_raster(cb0, tr, model.cell_win).reshape(-1, r, r))
-            cache_dtype = jnp.int8
-            if a['serving'] == 'int8max':
-                # + A8W8 depth-chain and spatial transformer gemms
-                # (calibrated static scales; int8_max row of the quality
-                # table in docs/serving.md)
-                os.environ['HQT_INT8_STAGE2'] = '1'
-                os.environ['HQT_INT8_SPATIAL'] = '1'
-                variables = model.calibrate_stage2_int8(
-                    variables, ct0,
-                    cells_to_raster(cb0, tr, model.cell_win).reshape(
-                        ct0.shape[0], -1), cal_labels)
-            # the calibration passes above compiled their own bf16-cache
-            # sampler + calibration programs; drop those executables before
-            # compiling the two batch_size-sized measurement programs, or
-            # their arenas push a bs-2048 int8 run out of HBM
-            # (RESOURCE_EXHAUSTED observed on the 16 GB chip)
-            del ct0, cb0
-            jax.clear_caches()
-        # int8 caches exist only in the packed layout, so force it there
-        attn = 'packed' if a['serving'] in ('int8', 'int8max') else 'auto'
+            forward_codes = (ct0, cells_to_raster(
+                cb0, tr, model.cell_win).reshape(ct0.shape[0], -1),
+                cal_labels)
+        else:
+            _, (t0_, m0_, b0_) = model.make_pixel_sampler_multilevel(
+                max_seq_len=Ttop)(variables, jax.random.PRNGKey(3),
+                                  cal_labels)
+            from hqtransformer_tpu.models.stage2.multilevel import \
+                cells_to_level
+            mid_map = cells_to_level(m0_, tr, 2)    # [B, (2tr 2tr)] raster
+            bot_map = cells_to_level(b0_, tr, 4)
+            variables = model.calibrate_int8_decode(
+                variables, [t0_.reshape(-1, tr, tr),
+                            mid_map.reshape(-1, tr * 2, tr * 2),
+                            bot_map.reshape(-1, tr * 4, tr * 4)])
+            forward_codes = ([t0_, mid_map, bot_map], cal_labels)
+        cache_dtype = jnp.int8
+        if a['serving'] == 'int8max':
+            # + A8W8 depth-chain and spatial transformer gemms (calibrated
+            # static scales; quality table in docs/serving.md)
+            os.environ['HQT_INT8_STAGE2'] = '1'
+            os.environ['HQT_INT8_SPATIAL'] = '1'
+            variables = model.calibrate_stage2_int8(variables,
+                                                    *forward_codes)
+        # the calibration passes above compiled their own bf16-cache
+        # sampler + calibration programs; drop those executables before
+        # compiling the two batch_size-sized measurement programs, or
+        # their arenas push a bs-2048 int8 run out of HBM
+        # (RESOURCE_EXHAUSTED observed on the 16 GB chip)
+        del forward_codes
+        jax.clear_caches()
+    # int8 caches exist only in the packed layout, so force it there
+    attn = 'packed' if a['serving'] in ('int8', 'int8max') else 'auto'
+    if a['code_levels'] == 2:
         ar_sampler = make_hierarchical_sampler(
             model.stage2, Ttop, SamplingParams(), cache_dtype=cache_dtype,
             attention=attn)
@@ -123,9 +134,10 @@ def main():
                                                attention=attn)
     else:
         ar_sampler = make_multilevel_sampler(model.stage2, Ttop,
-                                             cache_dtype=dtype)
+                                             cache_dtype=cache_dtype,
+                                             attention=attn)
         e2e_sampler = model.make_pixel_sampler_multilevel(
-            max_seq_len=Ttop, cache_dtype=dtype)
+            max_seq_len=Ttop, cache_dtype=cache_dtype, attention=attn)
 
     def run_ar(key, labels):
         out = ar_sampler(variables['stage2'], key, labels)

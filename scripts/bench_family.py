@@ -46,10 +46,21 @@ ROWS = {
                     384, 'cls', 2, 'int8max'),
     'l12-level3': ('configs/imagenet/stage2/'
                    'hqtransformer-l12-top8x8-level3.yaml', 256, 'cls', 3),
+    'l12-level3-int8max': ('configs/imagenet/stage2/'
+                           'hqtransformer-l12-top8x8-level3.yaml',
+                           256, 'cls', 3, 'int8max'),
     'l24-ffhq': ('configs/ffhq/stage2/hqtransformer-l24-ffhq.yaml',
                  1024, 'cls', 2),
     'l12-cc15m-txt': ('configs/cc15m/stage2/hqtransformer-l12-cc15m.yaml',
                       1024, 'txt', 2),
+    'l12-cc15m-txt-int8max': ('configs/cc15m/stage2/'
+                              'hqtransformer-l12-cc15m.yaml',
+                              1024, 'txt', 2, 'int8max'),
+    # apples-to-apples reference-protocol point: the reference harness runs
+    # bs=50 (`/root/reference/measure_throughput/__main__.py:140-180`);
+    # every other row uses TPU-serving batches
+    'l12-bs50': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
+                 50, 'cls', 2),
 }
 
 SUMMARY_RE = re.compile(
