@@ -39,6 +39,11 @@ def main():
     ap.add_argument('--bf16', action='store_true',
                     help='bf16 activations / f32 params+losses '
                          '(main_stage1.py --bf16)')
+    ap.add_argument('--perf-row', action='store_true',
+                    help='merge the result into PERF.json as the '
+                         "'stage1-train' row (training throughput on the "
+                         'real chip — the reference trains stage-1 as its '
+                         'main workload, main_stage1.py:99-112)')
     args = ap.parse_args()
 
     cfg = build_stage1_config(args.config)
@@ -93,6 +98,35 @@ def main():
           f'({args.batch / dt:.1f} img/s/chip)  '
           f'lpips={args.lpips} fast={args.fast} bf16={args.bf16} '
           f'pallas_vq={os.environ.get("HQT_DISABLE_PALLAS_VQ") != "1"}')
+
+    if args.perf_row:
+        import json
+        out_path = os.path.join(os.path.dirname(__file__), '..',
+                                'PERF.json')
+        merged = {}
+        if os.path.exists(out_path):
+            try:
+                doc = json.load(open(out_path))
+                for r in doc['rows']:
+                    merged[r['model']] = r
+            except Exception:
+                doc = {}
+        row = {'model': 'stage1-train',
+               'config': os.path.relpath(args.config, os.path.join(
+                   os.path.dirname(__file__), '..')),
+               'batch': args.batch,
+               'ms_per_step': round(dt * 1000, 1),
+               'img_per_sec': round(args.batch / dt, 1),
+               'lpips': args.lpips, 'fast_gan_step': args.fast,
+               'bf16': args.bf16}
+        merged[row['model']] = row
+        doc = json.load(open(out_path)) if os.path.exists(out_path) else {
+            'protocol': '', 'device': '', 'rows': []}
+        doc['rows'] = list(merged.values())
+        with open(out_path, 'w') as f:
+            json.dump(doc, f, indent=1)
+            f.write('\n')
+        print(f'merged stage1-train row into {out_path}')
 
 
 if __name__ == '__main__':

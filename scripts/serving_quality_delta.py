@@ -70,6 +70,13 @@ def main():
     ap.add_argument('--batch-size', type=int, default=50)
     ap.add_argument('--stage1-steps', type=int, default=400)
     ap.add_argument('--stage2-steps', type=int, default=600)
+    ap.add_argument('--modes', type=str, default='',
+                    help='comma list restricting the serving modes measured '
+                         '(base always included); default all')
+    ap.add_argument('--bootstrap', type=int, default=200,
+                    help='paired-bootstrap draws for the 95%% CIs of the '
+                         'per-mode Frechet deltas (0 disables)')
+    ap.add_argument('--out', type=str, default='')
     args = ap.parse_args()
 
     import jax
@@ -162,6 +169,12 @@ def main():
                       'HQT_INT8_SPATIAL': '1'}),
     }
 
+    if args.modes:
+        keep = {'base'} | set(args.modes.split(','))
+        unknown = keep - set(modes)
+        assert not unknown, f'unknown modes {unknown}; known {list(modes)}'
+        modes = {k: v for k, v in modes.items() if k in keep}
+
     samples = {}
     for name, (model, mvars, kw, env) in modes.items():
         os.environ.update(env)
@@ -177,18 +190,18 @@ def main():
     # pixel-space Frechet stats (see PixelExtractor: random-init Inception
     # cannot rank distributions; this space orders color+structure)
     ex = PixelExtractor()
-    stats = {name: mean_covar_numpy(ex.features(x))
-             for name, x in samples.items()}
+    feats = {name: ex.features(x) for name, x in samples.items()}
+    stats = {name: mean_covar_numpy(f) for name, f in feats.items()}
 
     # training-set stats
     from hqtransformer_tpu.data.datasets import build_dataset
     ds = build_dataset('imagenet', os.path.join(wd, 'data'), 'train')
-    feats = []
+    tr_feats = []
     for i in range(len(ds)):
         img, _ = ds[i]
-        feats.append(np.asarray(img, np.float32))
-    feats = ex.features((np.stack(feats) * 0.5 + 0.5).clip(0, 1))
-    mu_t, sig_t = mean_covar_numpy(feats)
+        tr_feats.append(np.asarray(img, np.float32))
+    tr_feats = ex.features((np.stack(tr_feats) * 0.5 + 0.5).clip(0, 1))
+    mu_t, sig_t = mean_covar_numpy(tr_feats)
 
     out = {'n_samples': n}
     mu_b, sig_b = stats['base']
@@ -202,7 +215,36 @@ def main():
             frechet_distance(mu_t, sig_t, mu, sig), 4)
         out[f'frechet_to_base_{name}'] = round(
             frechet_distance(mu_b, sig_b, mu, sig), 4)
-    print(json.dumps(out))
+
+    # paired bootstrap over samples: every mode was sampled with the SAME
+    # keys/labels per index, so resampling one index set across all modes
+    # cancels shared draw noise — the CI covers the MODE-induced delta
+    # fid_proxy_<mode> - fid_proxy_base, the decision quantity ("does int8
+    # serving degrade quality beyond estimator noise?")
+    if args.bootstrap > 0:
+        rng = np.random.RandomState(0)
+        deltas = {name: [] for name in modes if name != 'base'}
+        for _ in range(args.bootstrap):
+            idx = rng.randint(0, n, n)
+            mu_bb, sig_bb = mean_covar_numpy(feats['base'][idx])
+            f_base = frechet_distance(mu_t, sig_t, mu_bb, sig_bb)
+            for name in deltas:
+                mu, sig = mean_covar_numpy(feats[name][idx])
+                deltas[name].append(
+                    frechet_distance(mu_t, sig_t, mu, sig) - f_base)
+        for name, d in deltas.items():
+            d = np.sort(np.asarray(d))
+            lo, hi = d[int(0.025 * len(d))], d[int(0.975 * len(d)) - 1]
+            out[f'delta_fid_{name}_ci95'] = [round(float(lo), 4),
+                                             round(float(hi), 4)]
+            out[f'delta_fid_{name}_mean'] = round(float(d.mean()), 4)
+        out['bootstrap_draws'] = args.bootstrap
+
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, 'w') as f:
+            f.write(line + '\n')
 
 
 if __name__ == '__main__':
