@@ -377,6 +377,30 @@ class SelfAttention(nn.Module):
         return self.proj(_merge_heads(y)), k_caches, v_caches
 
 
+def tiny_attention(q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int,
+                   mask: Optional[jax.Array] = None) -> jax.Array:
+    """Multi-head attention for TINY sequences (depth chains: Tq, Tk <= 21)
+    in flat [B, T, D] layout. Per-head einsums at these shapes lower to
+    thousands of tile-padded micro-matmuls on the MXU; instead compute the
+    per-head scores via one elementwise product + a head-parity matmul
+    (exact same math — see ops/pallas_attention.py):
+        s[b,q,t,h] = sum_d (q[b,q,:] * k[b,t,:])[d] . par[d,h]
+    `mask`: bool [Tq, Tk] or None (full attention). Softmax in f32."""
+    D = q.shape[-1]
+    hd = D // n_heads
+    par = ((jnp.arange(D) // hd)[:, None] == jnp.arange(n_heads)[None, :])
+    scale = 1.0 / np.sqrt(hd)
+    P = q[:, :, None, :] * k[:, None, :, :]            # [B, Tq, Tk, D]
+    s = jnp.einsum('bqtd,dh->bqth', P, par.astype(P.dtype),
+                   preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask[None, :, :, None], s, NEG_INF)
+    att = jax.nn.softmax(s, axis=2)                    # [B, Tq, Tk, nh]
+    A = jnp.einsum('bqth,dh->bqtd', att.astype(q.dtype),
+                   par.astype(q.dtype))
+    return jnp.sum(A * v[:, None, :, :], axis=2)       # [B, Tq, D]
+
+
 def _quantize_rows(x: jax.Array, inv_scale: jax.Array) -> jax.Array:
     """Per-channel symmetric int8 quantization: x [..., D], inv_scale [D]."""
     return jnp.clip(jnp.round(x.astype(jnp.float32) * inv_scale),

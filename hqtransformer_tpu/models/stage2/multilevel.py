@@ -431,51 +431,132 @@ class MultiLevelHQTransformer(nn.Module):
         cells = [top[:, None, None], mid[:, None, :], bot[:, None, :]]
         return self.embed_cells(cells, position[:, None])
 
-    def depth_phase(self, h: jax.Array, top: Optional[jax.Array],
-                    mid_local: Optional[jax.Array], phase: int):
-        """Run the depth stack on the static-length prefix for `phase`
-        (0: 1 token -> top logits; 1: 5 tokens -> mid logits;
-        2: 21 tokens -> bottom logits in pyramid order). Recomputes the
-        prefix instead of caching (<=21 tokens x 4 layers).
-
-        h: [B, D]; top: [B]; mid_local: [B, 4] mid codes in local raster
-        (group) order.
-        """
-        B = h.shape[0]
-        hs = [h[:, None, :] + self.sos_depth]
-        if phase >= 1:
+    def _phase_inputs(self, h: Optional[jax.Array], top: Optional[jax.Array],
+                      mid_local: Optional[jax.Array], phase: int
+                      ) -> jax.Array:
+        """NEW depth tokens entering at `phase` (the phase-`phase` slice of
+        the 21-token input, `hqtransformer.py:306-388`): 0 -> [B, 1, D]
+        (sos+h), 1 -> [B, 4, D] (top inputs), 2 -> [B, 16, D] (mid
+        inputs)."""
+        if phase == 0:
+            return h[:, None, :] + self.sos_depth
+        B = top.shape[0]
+        if phase == 1:
             pos0 = self.pos_emb_depths[0](jnp.arange(4))[None]
             e_top = self.tok_emb_depth_levels[0](top)
             if 'reduce' in self.decoding_type:
                 e_top = e_top.reshape(B, 4, -1)
             else:
                 e_top = e_top[:, None, :]
-            hs.append(e_top + pos0)
+            return e_top + pos0
+        e1 = self.tok_emb_depth_levels[1](mid_local)  # [B, 4, *]
+        pos1 = self.pos_emb_depths[1](jnp.arange(16))[None]
+        pos1 = rearrange(pos1, 'x (h1 h2 w1 w2) k -> x (h1 w1) (h2 w2) k',
+                         h1=2, h2=2, w1=2, w2=2)
+        if 'reduce' in self.decoding_type:
+            e1 = rearrange(e1, 'B g (k1 K) -> B g k1 K', k1=4)
+        else:
+            e1 = e1[:, :, None, :]
+        e1 = e1 + pos1
+        e1 = rearrange(e1, 'B (h1 w1) (h2 w2) K -> B (h1 h2 w1 w2) K',
+                       h1=2, w1=2, h2=2, w2=2)
+        if 'add' in self.decoding_type:
+            # (`hqtransformer.py:545-547`; reduce+add dims mismatch in
+            # the reference too)
+            e1 = e1 + self.tok_emb_depth_levels[0](top)[:, None, :]
+        return e1
+
+    def _phase_head(self, x: jax.Array, phase: int) -> jax.Array:
+        """Per-level head over the NEW tokens' outputs of `phase`."""
+        return self.head_levels[phase](self.ln_levels[phase](x))
+
+    def depth_phase(self, h: jax.Array, top: Optional[jax.Array],
+                    mid_local: Optional[jax.Array], phase: int):
+        """Run the depth stack on the static-length prefix for `phase`
+        (0: 1 token -> top logits; 1: 5 tokens -> mid logits;
+        2: 21 tokens -> bottom logits in pyramid order). Recomputes the
+        prefix instead of caching (<=21 tokens x 4 layers) — the reference
+        behavior; `depth_phase_cached` is the serving-path default (exact,
+        see its docstring).
+
+        h: [B, D]; top: [B]; mid_local: [B, 4] mid codes in local raster
+        (group) order.
+        """
+        hs = [self._phase_inputs(h, None, None, 0)]
+        if phase >= 1:
+            hs.append(self._phase_inputs(None, top, None, 1))
         if phase == 2:
-            mids = mid_local
-            e1 = self.tok_emb_depth_levels[1](mids)  # [B, 4, *]
-            pos1 = self.pos_emb_depths[1](jnp.arange(16))[None]
-            pos1 = rearrange(pos1, 'x (h1 h2 w1 w2) k -> x (h1 w1) (h2 w2) k',
-                             h1=2, h2=2, w1=2, w2=2)
-            if 'reduce' in self.decoding_type:
-                e1 = rearrange(e1, 'B g (k1 K) -> B g k1 K', k1=4)
-            else:
-                e1 = e1[:, :, None, :]
-            e1 = e1 + pos1
-            e1 = rearrange(e1, 'B (h1 w1) (h2 w2) K -> B (h1 h2 w1 w2) K',
-                           h1=2, w1=2, h2=2, w2=2)
-            if 'add' in self.decoding_type:
-                # (`hqtransformer.py:545-547`; reduce+add dims mismatch in
-                # the reference too)
-                e1 = e1 + self.tok_emb_depth_levels[0](top)[:, None, :]
-            hs.append(e1)
+            hs.append(self._phase_inputs(None, top, mid_local, 2))
         x = jnp.concatenate(hs, axis=1)
         T = x.shape[1]
         mask = jnp.asarray(M.level3(self.parallel_type)[:T, :T])
         for blk in self.depths:
             x = blk(x, mask=mask)
         if phase == 0:
-            return self.head_levels[0](self.ln_levels[0](x[:, 0, :]))
+            return self._phase_head(x[:, 0, :], 0)
         if phase == 1:
-            return self.head_levels[1](self.ln_levels[1](x[:, 1:5, :]))
-        return self.head_levels[2](self.ln_levels[2](x[:, 5:21, :]))
+            return self._phase_head(x[:, 1:5, :], 1)
+        return self._phase_head(x[:, 5:21, :], 2)
+
+    def depth_phase_cached(self, h: Optional[jax.Array],
+                           top: Optional[jax.Array],
+                           mid_local: Optional[jax.Array],
+                           depth_kv, phase: int):
+        """KV-cached depth phase: process ONLY the tokens entering at
+        `phase` against the cached K/V of the earlier phases, extending the
+        cache. Returns (logits for this phase's level, new depth_kv).
+
+        EXACT same math as `depth_phase`'s prefix recompute: a phase-p
+        token's visible columns under the 21x21 mask
+        (`ops/masks.level3_decode`) are identical whether its K/V come from
+        this pass or were cached by the earlier one, so activations match
+        bit-for-bit up to float reassociation. Cuts the depth-stack token
+        passes per cell from 1+5+21=27 to 1+4+16=21.
+
+        Phase 0 exploits the single-token shortcut (softmax over one
+        visible key is identically 1, so attention output IS v — mirrors
+        HierarchicalGPT.depth_first_logits).
+        """
+        from .layers import tiny_attention
+        if phase == 0:
+            x = self._phase_inputs(h, None, None, 0)
+            ks, vs = [], []
+            for blk in self.depths:
+                xn = blk.ln1(x)
+                a = blk.attn
+                w_kv = jnp.concatenate(
+                    [a.key.variables['params']['kernel'],
+                     a.value.variables['params']['kernel']], axis=1)
+                kv = jnp.dot(xn, w_kv.astype(xn.dtype))
+                if a.attn_bias:
+                    b_kv = jnp.concatenate(
+                        [a.key.variables['params']['bias'],
+                         a.value.variables['params']['bias']])
+                    kv = kv + b_kv.astype(xn.dtype)
+                k, v = jnp.split(kv, 2, axis=-1)
+                x = x + a.proj(v)
+                x = x + blk._mlp(blk.ln2(x), True)
+                ks.append(k)
+                vs.append(v)
+            return self._phase_head(x[:, 0, :], 0), (ks, vs)
+
+        x = self._phase_inputs(None, top, mid_local, phase)
+        t_past = 1 if phase == 1 else 5
+        t_new = x.shape[1]
+        mask = jnp.asarray(M.level3_decode(self.parallel_type, t_past,
+                                           t_new))
+        ks, vs = depth_kv
+        nh = self.hpd.n_heads
+        new_ks, new_vs = [], []
+        for i, blk in enumerate(self.depths):
+            xn = blk.ln1(x)
+            q, k_new, v_new = jnp.split(blk.attn._fused_qkv_flat(xn), 3,
+                                        axis=-1)
+            k_flat = jnp.concatenate([ks[i], k_new], axis=1)
+            v_flat = jnp.concatenate([vs[i], v_new], axis=1)
+            y = tiny_attention(q, k_flat, v_flat, nh, mask=mask)
+            x = x + blk.attn.proj(y)
+            x = x + blk._mlp(blk.ln2(x), True)
+            new_ks.append(k_flat)
+            new_vs.append(v_flat)
+        return self._phase_head(x, phase), (new_ks, new_vs)

@@ -609,6 +609,13 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
     hd = hp.embed_dim // n_heads
     sos_len = hp.ctx_len_txt if model.use_txt_cond else 1
 
+    import os as _os
+
+    # KV-cached depth phases (exact; 21 instead of 27 depth-token passes
+    # per cell — see MultiLevelHQTransformer.depth_phase_cached); the
+    # recompute path stays available for A/B via HQT_ML_DEPTH_RECOMPUTE=1
+    use_depth_cache = _os.environ.get('HQT_ML_DEPTH_RECOMPUTE') != '1'
+
     def depth_sample(variables, h, key):
         # the 3 depth-phase passes are the measured hot spot of the 3-level
         # step (ar ablation, docs/measurements/r5) — the int8_stage2_scope
@@ -616,14 +623,22 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
         # gemms run A8W8 (mirrors the 2-level depth-second chain)
         from ..models.stage2.layers import int8_stage2_scope
         with int8_stage2_scope():
-            l0 = model.apply(variables, h, None, None, 0,
-                             method=ML.depth_phase)
+            if use_depth_cache:
+                l0, kv = model.apply(variables, h, None, None, None, 0,
+                                     method=ML.depth_phase_cached)
+            else:
+                l0 = model.apply(variables, h, None, None, 0,
+                                 method=ML.depth_phase)
         key, k0 = jax.random.split(key)
         top = sample_from_logits(k0, l0, temperature=temperature[0],
                                  top_k=top_k[0], top_p=top_p[0])
         with int8_stage2_scope():
-            l1 = model.apply(variables, h, top, None, 1,
-                             method=ML.depth_phase)
+            if use_depth_cache:
+                l1, kv = model.apply(variables, None, top, None, kv, 1,
+                                     method=ML.depth_phase_cached)
+            else:
+                l1 = model.apply(variables, h, top, None, 1,
+                                 method=ML.depth_phase)
         # the 4 mid / 16 bot positions are conditionally independent given
         # the parent codes (`hqtransformer.py:500-635` draws them from one
         # depth pass) — one batched draw per level instead of 4+16 serial
@@ -631,8 +646,12 @@ def make_multilevel_sampler(model, max_seq_len: int = 64,
         mids = sample_from_logits(k1, l1, temperature=temperature[1],
                                   top_k=top_k[1], top_p=top_p[1])
         with int8_stage2_scope():
-            l2 = model.apply(variables, h, top, mids, 2,
-                             method=ML.depth_phase)
+            if use_depth_cache:
+                l2, _ = model.apply(variables, None, top, mids, kv, 2,
+                                    method=ML.depth_phase_cached)
+            else:
+                l2 = model.apply(variables, h, top, mids, 2,
+                                 method=ML.depth_phase)
         key, k2 = jax.random.split(key)
         bots = sample_from_logits(k2, l2, temperature=temperature[2],
                                   top_k=top_k[2], top_p=top_p[2])

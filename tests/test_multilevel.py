@@ -152,3 +152,29 @@ def test_multilevel_segments_do_not_change_codes():
         outs.append(s(variables, key, labels))
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cached_depth_matches_recompute():
+    """The KV-cached depth decode (depth_phase_cached, the serving default)
+    emits the same greedy token stream as the reference-shaped prefix
+    recompute (HQT_ML_DEPTH_RECOMPUTE=1) — the two are the same math."""
+    import os
+
+    _, jm = build_pair('parallel-add')
+    B, Ttop = 4, 16
+    labels = jnp.asarray([1, 2, 3, 4])
+    codes = [jnp.asarray(c) for c in make_codes(B)]
+    variables = jm.init(jax.random.PRNGKey(0), codes, labels)
+
+    kw = dict(top_k=(1, 1, 1))
+    cached = make_multilevel_sampler(jm, Ttop, **kw)
+    t1, m1, b1 = cached(variables, jax.random.PRNGKey(9), labels)
+    os.environ['HQT_ML_DEPTH_RECOMPUTE'] = '1'
+    try:
+        recompute = make_multilevel_sampler(jm, Ttop, **kw)
+        t2, m2, b2 = recompute(variables, jax.random.PRNGKey(9), labels)
+    finally:
+        del os.environ['HQT_ML_DEPTH_RECOMPUTE']
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
