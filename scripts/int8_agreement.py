@@ -119,11 +119,35 @@ def main():
           f'top={out["token_agreement_top"]} '
           f'bot={out["token_agreement_bot"]}', flush=True)
 
+    # --- CONTROL: the same comparisons between two PURE-bf16 serving paths
+    # (packed kernel vs einsum attention — rounding-level divergence only,
+    # no quantization). With RANDOM weights the logits are near-flat over
+    # 8192 classes, so ANY rounding-scale perturbation flips the
+    # inverse-CDF draw and autoregressive divergence compounds — the
+    # control pins how much of the raw agreement drop is that flatness
+    # rather than int8. (On a TRAINED model, where distributions are
+    # peaked, int8max token agreement measures 94-96%:
+    # tests/test_int8_kv.py, docs/serving.md.)
+    if os.environ.get('HQT_AGREEMENT_CONTROL', '1') == '1':
+        ctl = make_hierarchical_sampler(s2, Ttop, sp, attention='einsum',
+                                        cache_dtype=jnp.bfloat16)
+        ct_c, cb_c = jax.block_until_ready(ctl(v2_f, key, labels))
+        out['control_bf16_einsum_agreement_top'] = round(float(np.mean(
+            np.asarray(ct_c) == np.asarray(ct_f))), 4)
+        out['control_bf16_einsum_agreement_bot'] = round(float(np.mean(
+            np.asarray(cb_c) == np.asarray(cb_f))), 4)
+        print(f'[control] {time.time() - t0:.1f}s '
+              f'top={out["control_bf16_einsum_agreement_top"]}', flush=True)
+
     # --- (2) per-step logit KL, teacher-forced on the bf16 codes
     scorer_f = make_hierarchical_scorer(s2, Ttop, attention='packed',
                                         cache_dtype=jnp.bfloat16)
     scorer_q = make_hierarchical_scorer(s2, Ttop, attention='packed',
                                         cache_dtype=jnp.int8)
+    scorer_c = None
+    if os.environ.get('HQT_AGREEMENT_CONTROL', '1') == '1':
+        scorer_c = make_hierarchical_scorer(s2, Ttop, attention='einsum',
+                                            cache_dtype=jnp.bfloat16)
 
     @jax.jit
     def kl_fn(lp, lq):
@@ -135,6 +159,7 @@ def main():
         return jnp.sum(jnp.exp(p) * (p - q), axis=-1)
 
     kls_t, kls_b, top1 = [], [], []
+    kls_ct, kls_cb = [], []
     cb_cells = cb_f  # sampler output is already [B, L, r] cell-local order
     for i in range(0, B, args.kl_chunk):
         sl = slice(i, i + args.kl_chunk)
@@ -143,6 +168,10 @@ def main():
         os.environ['HQT_INT8_STAGE2'] = '0'
         os.environ['HQT_INT8_SPATIAL'] = '0'
         lt_f, lb_f = scorer_f(v2_f, labels[sl], ct_f[sl], cb_cells[sl])
+        if scorer_c is not None:
+            lt_c, lb_c = scorer_c(v2_f, labels[sl], ct_f[sl], cb_cells[sl])
+            kls_ct.append(np.asarray(kl_fn(lt_f, lt_c)))
+            kls_cb.append(np.asarray(kl_fn(lb_f, lb_c)))
         os.environ['HQT_INT8_STAGE2'] = '1'
         os.environ['HQT_INT8_SPATIAL'] = '1'
         lt_q, lb_q = scorer_q(v2_q, labels[sl], ct_f[sl], cb_cells[sl])
@@ -154,6 +183,13 @@ def main():
         print(f'[kl chunk {i}] {time.time() - t0:.1f}s', flush=True)
     os.environ['HQT_INT8_STAGE2'] = '0'
     os.environ['HQT_INT8_SPATIAL'] = '0'
+    if kls_ct:
+        ct_ = np.concatenate(kls_ct).ravel()
+        cb_ = np.concatenate(kls_cb).ravel()
+        out['control_bf16_rounding_kl_top_mean'] = round(float(ct_.mean()),
+                                                         6)
+        out['control_bf16_rounding_kl_bot_mean'] = round(float(cb_.mean()),
+                                                         6)
 
     kt = np.concatenate(kls_t).ravel()
     kb = np.concatenate(kls_b).ravel()

@@ -33,6 +33,12 @@ run() {  # run <name> <timeout_s> <cmd...>
 run bench_full 4200 env BENCH_TOTAL_TIMEOUT_S=3900 BENCH_INIT_TIMEOUT_S=1800 \
     python bench.py
 
+# 1b) agreement evidence rerun WITH the bf16-rounding control (einsum
+#     sampler + scorer at the same seed) that contextualizes the raw
+#     fixed-seed agreement numbers on random weights
+run int8_agreement2 3000 python scripts/int8_agreement.py --batch 256 \
+    --kl-chunk 64 --out docs/measurements/r5/int8_agreement_l12.json
+
 # 2) repaired int8 family rows (sequential phase protocol)
 run family_l12i8m 1800 env BENCH_ROW_TIMEOUT_S=1650 \
     python scripts/bench_family.py --rows l12-int8max
