@@ -92,9 +92,14 @@ def main():
             variables = model.calibrate_int8_decode(
                 variables, ct0.reshape(-1, tr, tr),
                 cells_to_raster(cb0, tr, model.cell_win).reshape(-1, r, r))
-            forward_codes = (ct0, cells_to_raster(
-                cb0, tr, model.cell_win).reshape(ct0.shape[0], -1),
-                cal_labels)
+            # gemm-scale calibration runs the TRAINING forward, which
+            # materializes full per-level logits — a small slice suffices
+            # for absmax scales (level-3 logits at 256 samples are ~8 GB:
+            # the OOM behind the first l12-level3-int8max row attempt)
+            nc = min(64, ct0.shape[0])
+            forward_codes = (ct0[:nc], cells_to_raster(
+                cb0[:nc], tr, model.cell_win).reshape(nc, -1),
+                cal_labels[:nc])
         else:
             _, (t0_, m0_, b0_) = model.make_pixel_sampler_multilevel(
                 max_seq_len=Ttop)(variables, jax.random.PRNGKey(3),
@@ -107,7 +112,9 @@ def main():
                 variables, [t0_.reshape(-1, tr, tr),
                             mid_map.reshape(-1, tr * 2, tr * 2),
                             bot_map.reshape(-1, tr * 4, tr * 4)])
-            forward_codes = ([t0_, mid_map, bot_map], cal_labels)
+            nc = min(32, t0_.shape[0])
+            forward_codes = ([t0_[:nc], mid_map[:nc], bot_map[:nc]],
+                             cal_labels[:nc])
         cache_dtype = jnp.int8
         if a['serving'] == 'int8max':
             # + A8W8 depth-chain and spatial transformer gemms (calibrated

@@ -45,9 +45,12 @@ run family_l12i8m 1800 env BENCH_ROW_TIMEOUT_S=1650 \
 run family_l12i8 1800 env BENCH_ROW_TIMEOUT_S=1650 \
     python scripts/bench_family.py --rows l12-int8
 
-# 3) level-3 bf16 re-run (KV-cached depth phases)
+# 3) level-3 bf16 re-run (KV-cached depth phases) + the int8max row retry
+#    (post small-slice gemm-calibration fix)
 run family_l3 1500 env BENCH_ROW_TIMEOUT_S=1350 \
     python scripts/bench_family.py --rows l12-level3
+run family_l3i8m 2100 env BENCH_ROW_TIMEOUT_S=1950 \
+    python scripts/bench_family.py --rows l12-level3-int8max
 
 # 4) level-3 depth-phase ablations
 for m in base recompute nodepth nophase2 noembed noattn nosample; do
