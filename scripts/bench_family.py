@@ -53,9 +53,12 @@ ROWS = {
                  1024, 'cls', 2),
     'l12-cc15m-txt': ('configs/cc15m/stage2/hqtransformer-l12-cc15m.yaml',
                       1024, 'txt', 2),
+    # 768, not the bf16 row's 1024: the txt conditioning DOUBLES the KV rows
+    # (ctx 64 + 63 spatial), and int8max additionally holds hoisted int8
+    # weight copies next to the bf16 params — 1024 RESOURCE_EXHAUSTEDs
     'l12-cc15m-txt-int8max': ('configs/cc15m/stage2/'
                               'hqtransformer-l12-cc15m.yaml',
-                              1024, 'txt', 2, 'int8max'),
+                              768, 'txt', 2, 'int8max'),
     # apples-to-apples reference-protocol point: the reference harness runs
     # bs=50 (`/root/reference/measure_throughput/__main__.py:140-180`);
     # every other row uses TPU-serving batches

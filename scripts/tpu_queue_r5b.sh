@@ -51,6 +51,8 @@ run family_l3 1500 env BENCH_ROW_TIMEOUT_S=1350 \
     python scripts/bench_family.py --rows l12-level3
 run family_l3i8m 2100 env BENCH_ROW_TIMEOUT_S=1950 \
     python scripts/bench_family.py --rows l12-level3-int8max
+run family_txti8m 2100 env BENCH_ROW_TIMEOUT_S=1950 \
+    python scripts/bench_family.py --rows l12-cc15m-txt-int8max
 
 # 4) level-3 depth-phase ablations
 for m in base recompute nodepth nophase2 noembed noattn nosample; do
