@@ -29,6 +29,19 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -3 "$OUT/$name.log" | tee -a "$OUT/queue.log"
 }
 
+# 0) lease waiter: block (untimed) on one tiny op; a hanging-but-alive
+#    client kills nothing, so it can't extend a wedge
+echo "waiting for lease ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
+python -c "
+import time, jax, jax.numpy as jnp
+t0 = time.time()
+v = float(jnp.sum(jnp.ones((128, 128))))
+print('lease ok', v, round(time.time() - t0, 1), flush=True)
+" > "$OUT/waiter.log" 2>&1
+grep -q "lease ok" "$OUT/waiter.log" || {
+  echo "waiter failed" | tee -a "$OUT/queue.log"; exit 1; }
+echo "lease recovered ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
+
 # 1) promoted-headline bench validation (all sections)
 run bench_full 4200 env BENCH_TOTAL_TIMEOUT_S=3900 BENCH_INIT_TIMEOUT_S=1800 \
     python bench.py
