@@ -449,7 +449,10 @@ def main():
                         k: ev[k] for k in (
                             'token_agreement_top', 'token_agreement_bot',
                             'kl_top_mean_nats', 'kl_bot_mean_nats',
-                            'teacher_forced_top1_match', 'batch')
+                            'teacher_forced_top1_match',
+                            'control_bf16_einsum_agreement_top',
+                            'control_bf16_rounding_kl_top_mean',
+                            'control_bf16_rounding_kl_bot_mean', 'batch')
                         if k in ev}
                     _RESULT['extra']['quality_evidence']['source'] = \
                         'docs/measurements/r5/int8_agreement_l12.json ' \
