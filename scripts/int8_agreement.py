@@ -84,12 +84,13 @@ def main():
     ct_f, cb_f = jax.block_until_ready(ref(variables['stage2'], key, labels))
     print(f'[bf16 sample] {time.time() - t0:.1f}s', flush=True)
 
-    # --- calibrate the full int8max scope set on this model
+    # --- calibrate the full int8max scope set on this model (the env flags
+    # stay OFF here: calibration only sows absmax; the flags are read at
+    # TRACE time by each sampler/scorer, so they are toggled tightly around
+    # the int8 traces below — a stale '1' would poison the bf16 controls)
     cal = min(B, 256)
     vars_q = model.calibrate_kv_scales(variables, jax.random.PRNGKey(2),
                                        labels[:cal], params=sp)
-    os.environ['HQT_INT8_STAGE2'] = '1'
-    os.environ['HQT_INT8_SPATIAL'] = '1'
     cb_raster = cells_to_raster(cb_f[:cal], model.top_res, model.cell_win
                                 ).reshape(cal, -1)
     vars_q = model.calibrate_stage2_int8(vars_q, ct_f[:cal], cb_raster,
@@ -105,9 +106,13 @@ def main():
            'backend': jax.default_backend()}
 
     # --- (1) token agreement at fixed seed
+    os.environ['HQT_INT8_STAGE2'] = '1'
+    os.environ['HQT_INT8_SPATIAL'] = '1'
     q8 = make_hierarchical_sampler(s2, Ttop, sp, attention='packed',
                                    cache_dtype=jnp.int8)
     ct_q, cb_q = jax.block_until_ready(q8(v2_q, key, labels))
+    os.environ['HQT_INT8_STAGE2'] = '0'
+    os.environ['HQT_INT8_SPATIAL'] = '0'
     out['token_agreement_top'] = round(float(np.mean(
         np.asarray(ct_q) == np.asarray(ct_f))), 4)
     out['token_agreement_bot'] = round(float(np.mean(
