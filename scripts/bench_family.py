@@ -90,6 +90,15 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
     except subprocess.TimeoutExpired:
         return {'model': name, 'config': config, 'batch': batch,
                 'error': 'timeout', 'detail': f'row exceeded {row_timeout}s'}
+    log_dir = os.environ.get('BENCH_ROW_LOG_DIR')
+    if log_dir:
+        # full row stdout+stderr for post-mortem (the PERF.json detail
+        # field keeps only the last 500 chars)
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, f'{name}.full.log'), 'w') as f:
+            f.write(p.stdout)
+            f.write('\n--- stderr ---\n')
+            f.write(p.stderr)
     if p.returncode != 0:
         return {'model': name, 'config': config, 'batch': batch,
                 'error': f'rc={p.returncode}',
