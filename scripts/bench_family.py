@@ -27,15 +27,17 @@ ROWS = {
     # name: (config, batch, cond, code_levels[, serving])
     'l12': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
             2048, 'cls', 2),
-    # int8 rows run at 1536, not the bf16 rows' 2048: the measurement
-    # protocol compiles calibration + measurement programs in one process
-    # and bs2048 int8 still RESOURCE_EXHAUSTEDs even after the
-    # jax.clear_caches() calibration-arena drop (measured 2026-08-19;
-    # bench.py's pipelined int8max alone does fit 2048)
+    # int8 rows run at 1024, not the bf16 rows' 2048: the measurement
+    # protocol compiles calibration + measurement programs in one process,
+    # and the sequential-phase form still RESOURCE_EXHAUSTEDs at bs1536
+    # even after the jax.clear_caches() calibration-arena drop (measured
+    # 2026-08-19; bench.py's pipelined int8max alone does fit 2048). An
+    # OOM row auto-retries at half batch (run_row), so these starting
+    # points only set the first attempt.
     'l12-int8': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
-                 1536, 'cls', 2, 'int8'),
+                 1024, 'cls', 2, 'int8'),
     'l12-int8max': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
-                    1536, 'cls', 2, 'int8max'),
+                    1024, 'cls', 2, 'int8max'),
     'l24': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
             1024, 'cls', 2),
     'l24-int8max': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
@@ -46,19 +48,23 @@ ROWS = {
                     384, 'cls', 2, 'int8max'),
     'l12-level3': ('configs/imagenet/stage2/'
                    'hqtransformer-l12-top8x8-level3.yaml', 256, 'cls', 3),
+    # 128, not the bf16 row's 256: int8max holds hoisted int8 weight copies
+    # and the level-3 calibration forward next to the bf16 params; 256
+    # RESOURCE_EXHAUSTED on the 16 GB chip (2026-08-19)
     'l12-level3-int8max': ('configs/imagenet/stage2/'
                            'hqtransformer-l12-top8x8-level3.yaml',
-                           256, 'cls', 3, 'int8max'),
+                           128, 'cls', 3, 'int8max'),
     'l24-ffhq': ('configs/ffhq/stage2/hqtransformer-l24-ffhq.yaml',
                  1024, 'cls', 2),
     'l12-cc15m-txt': ('configs/cc15m/stage2/hqtransformer-l12-cc15m.yaml',
                       1024, 'txt', 2),
-    # 768, not the bf16 row's 1024: the txt conditioning DOUBLES the KV rows
+    # 512, not the bf16 row's 1024: the txt conditioning DOUBLES the KV rows
     # (ctx 64 + 63 spatial), and int8max additionally holds hoisted int8
-    # weight copies next to the bf16 params — 1024 RESOURCE_EXHAUSTEDs
+    # weight copies next to the bf16 params — 1024 AND 768
+    # RESOURCE_EXHAUSTED (2026-08-19)
     'l12-cc15m-txt-int8max': ('configs/cc15m/stage2/'
                               'hqtransformer-l12-cc15m.yaml',
-                              768, 'txt', 2, 'int8max'),
+                              512, 'txt', 2, 'int8max'),
     # apples-to-apples reference-protocol point: the reference harness runs
     # bs=50 (`/root/reference/measure_throughput/__main__.py:140-180`);
     # every other row uses TPU-serving batches
@@ -70,8 +76,11 @@ SUMMARY_RE = re.compile(
     r'bs(\d+) \| ([\d.]+) ms/sample \(ar: ([\d.]+), decode: ([\d.]+)\)')
 
 
+OOM_MARKERS = ('RESOURCE_EXHAUSTED', 'Ran out of memory')
+
+
 def run_row(name, config, batch, cond, code_levels, samples_per_loop,
-            n_loop, serving='bf16'):
+            n_loop, serving='bf16', _tries=2):
     argv = [sys.executable, 'measure_throughput.py',
             f'model_path={config}', f'batch_size={batch}', f'cond={cond}',
             f'code_levels={code_levels}', f'n_loop={n_loop}',
@@ -93,12 +102,27 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
     log_dir = os.environ.get('BENCH_ROW_LOG_DIR')
     if log_dir:
         # full row stdout+stderr for post-mortem (the PERF.json detail
-        # field keeps only the last 500 chars)
+        # field keeps only the last 500 chars); batch-qualified so OOM-retry
+        # attempts don't overwrite each other
         os.makedirs(log_dir, exist_ok=True)
-        with open(os.path.join(log_dir, f'{name}.full.log'), 'w') as f:
+        with open(os.path.join(log_dir, f'{name}.bs{batch}.full.log'),
+                  'w') as f:
             f.write(p.stdout)
             f.write('\n--- stderr ---\n')
             f.write(p.stderr)
+    if (p.returncode != 0 and _tries > 0 and batch >= 64
+            and any(m in (p.stderr or '') + (p.stdout or '')
+                    for m in OOM_MARKERS)):
+        # HBM OOM: the table must carry numbers, not rc=1 rows — retry at
+        # half the batch (ms/sample at TPU-serving batches is flat within
+        # a few % over a 2x batch range; the row records the batch used)
+        print(f'[{name}] OOM at bs{batch}; retrying at bs{batch // 2}',
+              flush=True)
+        row = run_row(name, config, batch // 2, cond, code_levels,
+                      samples_per_loop, n_loop, serving, _tries - 1)
+        if 'error' not in row:
+            row['batch_retried_from'] = batch
+        return row
     if p.returncode != 0:
         return {'model': name, 'config': config, 'batch': batch,
                 'error': f'rc={p.returncode}',
