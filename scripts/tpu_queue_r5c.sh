@@ -91,10 +91,15 @@ fi
 #    total-samples/num-classes per class, sampling_hqmodel.py:181-182)
 CKPT=$(ls -d /tmp/conv_demo/s2/convergence-tiny/*/ckpt_full 2>/dev/null | tail -1)
 if [ ! -f docs/measurements/r5/fid50k_rehearsal.log ] && [ -n "$CKPT" ]; then
-  run fid50k_sample 4800 python sampling_hqmodel.py -r /tmp/fid50k \
-      -m "$CKPT" -c configs/tiny/convergence-tiny.yaml \
-      --batch-size 500 --num-classes 10 --total-samples 50000 \
-      --top-k 64 --temperature 1.0 --dtype bfloat16
+  # 50000 samples / 10 classes / bs500 = 100 pickles; don't redo a
+  # sampling pass r5b already completed before its deadline cut stats/eval
+  NPKL=$(ls /tmp/fid50k/samples_*.pkl 2>/dev/null | wc -l)
+  if [ "$NPKL" -lt 100 ]; then
+    run fid50k_sample 4800 python sampling_hqmodel.py -r /tmp/fid50k \
+        -m "$CKPT" -c configs/tiny/convergence-tiny.yaml \
+        --batch-size 500 --num-classes 10 --total-samples 50000 \
+        --top-k 64 --temperature 1.0 --dtype bfloat16
+  fi
   run fid50k_stats 1800 env JAX_PLATFORMS=cpu python \
       scripts/compute_fid_stats.py -d imagenet \
       --data-root /tmp/conv_demo/data --split train \
