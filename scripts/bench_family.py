@@ -159,6 +159,18 @@ def main():
         name = name.strip()
         if name not in ROWS:
             raise SystemExit(f'unknown row {name!r}; known: {list(ROWS)}')
+        if os.environ.get('BENCH_LEASE_WAIT') == '1':
+            # a row killed by its timeout can wedge the device lease
+            # (CLAUDE.md); block UNTIMED on one tiny op in a throwaway
+            # subprocess (never killed, so it cannot extend a wedge)
+            # before dispatching the next row
+            t0 = time.time()
+            subprocess.run([sys.executable, '-c',
+                            'import jax, jax.numpy as jnp;'
+                            'print(float(jnp.sum(jnp.ones((128, 128)))))'],
+                           cwd=REPO, capture_output=True)
+            print(f'[lease] ready after {time.time() - t0:.0f}s',
+                  flush=True)
         spec = ROWS[name]
         config, batch, cond, levels = spec[:4]
         serving = spec[4] if len(spec) > 4 else 'bf16'
