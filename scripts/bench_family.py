@@ -96,7 +96,19 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
     try:
         p = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
                            timeout=row_timeout)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        log_dir = os.environ.get('BENCH_ROW_LOG_DIR')
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            def _s(x):
+                return x.decode(errors='replace') if isinstance(x, bytes) \
+                    else (x or '')
+            with open(os.path.join(log_dir,
+                                   f'{name}.bs{batch}.timeout.log'),
+                      'w') as f:
+                f.write(_s(e.output))
+                f.write('\n--- stderr ---\n')
+                f.write(_s(e.stderr))
         return {'model': name, 'config': config, 'batch': batch,
                 'error': 'timeout', 'detail': f'row exceeded {row_timeout}s'}
     log_dir = os.environ.get('BENCH_ROW_LOG_DIR')
