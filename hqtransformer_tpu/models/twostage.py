@@ -97,6 +97,45 @@ def serving_bf16_params(variables):
         if x.dtype == jnp.float32 and x.ndim >= 2 else x, variables)
 
 
+# int8 serving-scale artifact: the calibration collections produced by
+# TwoStageModel.calibrate_{kv_scales,int8_decode,stage2_int8}, saved as a
+# standalone file so calibration (an offline PTQ step) and serving can run
+# in SEPARATE processes. The serving process then compiles only its
+# measurement/serving programs — no calibration executables or their
+# arenas ever touch the device (the in-process sequence RESOURCE_EXHAUSTED
+# the 16 GB chip at every batch size; see docs/serving.md). The reference
+# has no analogue (its serving quantization is dynamic fp16 autocast,
+# `hierarchical_ar.py:445`).
+_SCALE_COLLECTIONS = (('stage1', 'act_scales'), ('stage2', 'kv_scales'),
+                      ('stage2', 'act_scales'))
+
+
+def save_serving_scales(variables: Dict, path: str) -> None:
+    """Write every calibration collection present in `variables` to `path`
+    (pickle of a {(stage, collection): numpy tree} dict)."""
+    import pickle
+
+    import numpy as np
+    scales = {f'{s}/{c}': jax.tree.map(np.asarray, variables[s][c])
+              for s, c in _SCALE_COLLECTIONS
+              if c in variables.get(s, {})}
+    with open(path, 'wb') as f:
+        pickle.dump(scales, f)
+
+
+def load_serving_scales(variables: Dict, path: str) -> Dict:
+    """Merge a `save_serving_scales` artifact back into `variables`.
+    Internal trusted artifact (pickle): only load files you wrote."""
+    import pickle
+    with open(path, 'rb') as f:
+        scales = pickle.load(f)
+    out = dict(variables)
+    for key, tree in scales.items():
+        stage, coll = key.split('/', 1)
+        out[stage] = {**out[stage], coll: tree}
+    return out
+
+
 class TwoStageModel:
     """Container pairing the frozen stage-1 generator with a stage-2 AR
     model. Not a flax module: holds two module defs and composes their

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 from hqtransformer_tpu.config import build_twostage_config
 from hqtransformer_tpu.models.twostage import (TwoStageModel,
+                                               load_serving_scales,
+                                               save_serving_scales,
                                                serving_bf16_params)
 from hqtransformer_tpu.sampling.engine import (SamplingParams,
                                                make_hierarchical_sampler,
@@ -40,11 +42,76 @@ def parse_kv_args(argv):
                                 # depth-chain AND spatial gemms); bf16
                                 # 2- and 3-level models, cls and txt cond
                                 # — quality table: docs/serving.md
+               scales_out='',   # int8 modes: CALIBRATE ONLY — write the
+                                # serving-scale artifact here and exit
+               scales_in='',    # int8 modes: load a scales_out artifact
+                                # and skip in-process calibration (the
+                                # production PTQ split — and the only form
+                                # whose measurement process is as lean as
+                                # the bf16 rows'; the fused
+                                # calibrate-then-measure process
+                                # RESOURCE_EXHAUSTED the 16 GB chip at
+                                # EVERY batch size, docs/serving.md)
                profile='')  # dir for a jax.profiler trace of one loop
     for a in argv:
         k, v = a.split('=', 1)
         cfg[k] = type(cfg.get(k, v))(v) if k in cfg else v
     return cfg
+
+
+def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
+    """Calibrated int8 serving scales (KV cache + A8W8 decode; int8max adds
+    the depth-chain and spatial gemms): one representative sampling pass +
+    absmax collection passes. Returns `variables` extended with the scale
+    collections (docs/serving.md)."""
+    if a['cond'] == 'txt':
+        cal_labels = jnp.zeros(
+            (min(bs, 256), cfg.stage2.hparams.ctx_len_txt), jnp.int32)
+    else:
+        cal_labels = jnp.zeros((min(bs, 256),), jnp.int32)
+    variables = model.calibrate_kv_scales(
+        variables, jax.random.PRNGKey(2), cal_labels, max_seq_len=Ttop)
+    os.environ['HQT_INT8_DECODE'] = '1'
+    tr = model.top_res
+    if a['code_levels'] == 2:
+        _, (ct0, cb0) = model.make_pixel_sampler(max_seq_len=Ttop)(
+            variables, jax.random.PRNGKey(3), cal_labels)
+        from hqtransformer_tpu.models.stage2.hierarchical import \
+            cells_to_raster
+        r = tr * model.cell_win
+        variables = model.calibrate_int8_decode(
+            variables, ct0.reshape(-1, tr, tr),
+            cells_to_raster(cb0, tr, model.cell_win).reshape(-1, r, r))
+        # gemm-scale calibration runs the TRAINING forward, which
+        # materializes full per-level logits — a small slice suffices
+        # for absmax scales (level-3 logits at 256 samples are ~8 GB:
+        # the OOM behind the first l12-level3-int8max row attempt)
+        nc = min(64, ct0.shape[0])
+        forward_codes = (ct0[:nc], cells_to_raster(
+            cb0[:nc], tr, model.cell_win).reshape(nc, -1),
+            cal_labels[:nc])
+    else:
+        _, (t0_, m0_, b0_) = model.make_pixel_sampler_multilevel(
+            max_seq_len=Ttop)(variables, jax.random.PRNGKey(3),
+                              cal_labels)
+        from hqtransformer_tpu.models.stage2.multilevel import \
+            cells_to_level
+        mid_map = cells_to_level(m0_, tr, 2)    # [B, (2tr 2tr)] raster
+        bot_map = cells_to_level(b0_, tr, 4)
+        variables = model.calibrate_int8_decode(
+            variables, [t0_.reshape(-1, tr, tr),
+                        mid_map.reshape(-1, tr * 2, tr * 2),
+                        bot_map.reshape(-1, tr * 4, tr * 4)])
+        nc = min(32, t0_.shape[0])
+        forward_codes = ([t0_[:nc], mid_map[:nc], bot_map[:nc]],
+                         cal_labels[:nc])
+    if a['serving'] == 'int8max':
+        # + A8W8 depth-chain and spatial transformer gemms (calibrated
+        # static scales; quality table in docs/serving.md)
+        os.environ['HQT_INT8_STAGE2'] = '1'
+        os.environ['HQT_INT8_SPATIAL'] = '1'
+        variables = model.calibrate_stage2_int8(variables, *forward_codes)
+    return variables
 
 
 def main():
@@ -73,63 +140,29 @@ def main():
     cache_dtype = dtype
     if a['serving'] in ('int8', 'int8max'):
         assert dtype == jnp.bfloat16, 'serving=int8 needs dtype=bfloat16'
-        # calibrated int8 KV cache + A8W8 decode (docs/serving.md)
-        if a['cond'] == 'txt':
-            cal_labels = jnp.zeros(
-                (min(bs, 256), cfg.stage2.hparams.ctx_len_txt), jnp.int32)
-        else:
-            cal_labels = jnp.zeros((min(bs, 256),), jnp.int32)
-        variables = model.calibrate_kv_scales(
-            variables, jax.random.PRNGKey(2), cal_labels, max_seq_len=Ttop)
-        os.environ['HQT_INT8_DECODE'] = '1'
-        tr = model.top_res
-        if a['code_levels'] == 2:
-            _, (ct0, cb0) = model.make_pixel_sampler(max_seq_len=Ttop)(
-                variables, jax.random.PRNGKey(3), cal_labels)
-            from hqtransformer_tpu.models.stage2.hierarchical import \
-                cells_to_raster
-            r = tr * model.cell_win
-            variables = model.calibrate_int8_decode(
-                variables, ct0.reshape(-1, tr, tr),
-                cells_to_raster(cb0, tr, model.cell_win).reshape(-1, r, r))
-            # gemm-scale calibration runs the TRAINING forward, which
-            # materializes full per-level logits — a small slice suffices
-            # for absmax scales (level-3 logits at 256 samples are ~8 GB:
-            # the OOM behind the first l12-level3-int8max row attempt)
-            nc = min(64, ct0.shape[0])
-            forward_codes = (ct0[:nc], cells_to_raster(
-                cb0[:nc], tr, model.cell_win).reshape(nc, -1),
-                cal_labels[:nc])
-        else:
-            _, (t0_, m0_, b0_) = model.make_pixel_sampler_multilevel(
-                max_seq_len=Ttop)(variables, jax.random.PRNGKey(3),
-                                  cal_labels)
-            from hqtransformer_tpu.models.stage2.multilevel import \
-                cells_to_level
-            mid_map = cells_to_level(m0_, tr, 2)    # [B, (2tr 2tr)] raster
-            bot_map = cells_to_level(b0_, tr, 4)
-            variables = model.calibrate_int8_decode(
-                variables, [t0_.reshape(-1, tr, tr),
-                            mid_map.reshape(-1, tr * 2, tr * 2),
-                            bot_map.reshape(-1, tr * 4, tr * 4)])
-            nc = min(32, t0_.shape[0])
-            forward_codes = ([t0_[:nc], mid_map[:nc], bot_map[:nc]],
-                             cal_labels[:nc])
         cache_dtype = jnp.int8
-        if a['serving'] == 'int8max':
-            # + A8W8 depth-chain and spatial transformer gemms (calibrated
-            # static scales; quality table in docs/serving.md)
-            os.environ['HQT_INT8_STAGE2'] = '1'
-            os.environ['HQT_INT8_SPATIAL'] = '1'
-            variables = model.calibrate_stage2_int8(variables,
-                                                    *forward_codes)
-        # the calibration passes above compiled their own bf16-cache
-        # sampler + calibration programs; drop those executables before
-        # compiling the two batch_size-sized measurement programs, or
-        # their arenas push a bs-2048 int8 run out of HBM
-        # (RESOURCE_EXHAUSTED observed on the 16 GB chip)
-        del forward_codes
-        jax.clear_caches()
+        if a['scales_in']:
+            # production PTQ split: scales were calibrated by a separate
+            # `scales_out=` process; this process compiles ONLY the two
+            # measurement programs (same process shape as the bf16 rows,
+            # which run up to batch 2048 on the 16 GB chip)
+            variables = load_serving_scales(variables, a['scales_in'])
+            os.environ['HQT_INT8_DECODE'] = '1'
+            if a['serving'] == 'int8max':
+                os.environ['HQT_INT8_STAGE2'] = '1'
+                os.environ['HQT_INT8_SPATIAL'] = '1'
+        else:
+            variables = _calibrate_int8(a, model, cfg, variables, bs, Ttop)
+            if a['scales_out']:
+                save_serving_scales(variables, a['scales_out'])
+                print(f'wrote serving scales: {a["scales_out"]}')
+                return
+            # fused calibrate-then-measure (legacy; kept for one-process
+            # use at SMALL batch): drop the calibration executables before
+            # compiling the measurement programs. Known to RESOURCE_EXHAUST
+            # the 16 GB chip at every batch for the flagship configs — use
+            # the scales_out/scales_in split there (docs/serving.md).
+            jax.clear_caches()
     # int8 caches exist only in the packed layout, so force it there
     attn = 'packed' if a['serving'] in ('int8', 'int8max') else 'auto'
 

@@ -19,6 +19,7 @@ import os
 import re
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,17 +28,16 @@ ROWS = {
     # name: (config, batch, cond, code_levels[, serving])
     'l12': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
             2048, 'cls', 2),
-    # int8 rows run at 1024, not the bf16 rows' 2048: the measurement
-    # protocol compiles calibration + measurement programs in one process,
-    # and the sequential-phase form still RESOURCE_EXHAUSTEDs at bs1536
-    # even after the jax.clear_caches() calibration-arena drop (measured
-    # 2026-08-19; bench.py's pipelined int8max alone does fit 2048). An
-    # OOM row auto-retries at half batch (run_row), so these starting
-    # points only set the first attempt.
+    # int8 rows calibrate in a separate process (run_row two-process PTQ
+    # split) so the measurement process is as lean as the bf16 rows' — the
+    # fused calibrate-then-measure form RESOURCE_EXHAUSTED the 16 GB chip
+    # at EVERY batch (2026-08-19). The int8 KV cache halves the dominant
+    # HBM resident, so these start at the bf16 batches; an OOM row
+    # auto-retries at half batch (run_row).
     'l12-int8': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
-                 1024, 'cls', 2, 'int8'),
+                 2048, 'cls', 2, 'int8'),
     'l12-int8max': ('configs/imagenet/stage2/hqtransformer-l12-top8x8.yaml',
-                    1024, 'cls', 2, 'int8max'),
+                    2048, 'cls', 2, 'int8max'),
     'l24': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
             1024, 'cls', 2),
     'l24-int8max': ('configs/imagenet/stage2/hqtransformer-l24-top8x8.yaml',
@@ -48,23 +48,16 @@ ROWS = {
                     384, 'cls', 2, 'int8max'),
     'l12-level3': ('configs/imagenet/stage2/'
                    'hqtransformer-l12-top8x8-level3.yaml', 256, 'cls', 3),
-    # 128, not the bf16 row's 256: int8max holds hoisted int8 weight copies
-    # and the level-3 calibration forward next to the bf16 params; 256
-    # RESOURCE_EXHAUSTED on the 16 GB chip (2026-08-19)
     'l12-level3-int8max': ('configs/imagenet/stage2/'
                            'hqtransformer-l12-top8x8-level3.yaml',
-                           128, 'cls', 3, 'int8max'),
+                           256, 'cls', 3, 'int8max'),
     'l24-ffhq': ('configs/ffhq/stage2/hqtransformer-l24-ffhq.yaml',
                  1024, 'cls', 2),
     'l12-cc15m-txt': ('configs/cc15m/stage2/hqtransformer-l12-cc15m.yaml',
                       1024, 'txt', 2),
-    # 512, not the bf16 row's 1024: the txt conditioning DOUBLES the KV rows
-    # (ctx 64 + 63 spatial), and int8max additionally holds hoisted int8
-    # weight copies next to the bf16 params — 1024 AND 768
-    # RESOURCE_EXHAUSTED (2026-08-19)
     'l12-cc15m-txt-int8max': ('configs/cc15m/stage2/'
                               'hqtransformer-l12-cc15m.yaml',
-                              512, 'txt', 2, 'int8max'),
+                              1024, 'txt', 2, 'int8max'),
     # apples-to-apples reference-protocol point: the reference harness runs
     # bs=50 (`/root/reference/measure_throughput/__main__.py:140-180`);
     # every other row uses TPU-serving batches
@@ -79,12 +72,59 @@ SUMMARY_RE = re.compile(
 OOM_MARKERS = ('RESOURCE_EXHAUSTED', 'Ran out of memory')
 
 
+def _write_row_log(tag, stdout, stderr):
+    log_dir = os.environ.get('BENCH_ROW_LOG_DIR')
+    if not log_dir:
+        return
+    os.makedirs(log_dir, exist_ok=True)
+    def _s(x):
+        return x.decode(errors='replace') if isinstance(x, bytes) \
+            else (x or '')
+    with open(os.path.join(log_dir, f'{tag}.log'), 'w') as f:
+        f.write(_s(stdout))
+        f.write('\n--- stderr ---\n')
+        f.write(_s(stderr))
+
+
 def run_row(name, config, batch, cond, code_levels, samples_per_loop,
-            n_loop, serving='bf16', _tries=2):
-    argv = [sys.executable, 'measure_throughput.py',
-            f'model_path={config}', f'batch_size={batch}', f'cond={cond}',
-            f'code_levels={code_levels}', f'n_loop={n_loop}',
-            f'samples_per_loop={samples_per_loop}', f'serving={serving}']
+            n_loop, serving='bf16', _tries=2, _scales=None):
+    base = [sys.executable, 'measure_throughput.py',
+            f'model_path={config}', f'cond={cond}',
+            f'code_levels={code_levels}']
+    row_timeout = float(os.environ.get('BENCH_ROW_TIMEOUT_S', '3300'))
+    cal_wall = None
+    if (serving != 'bf16' and _scales is None
+            and os.environ.get('BENCH_INT8_TWO_PROC', '1') == '1'):
+        # int8 rows calibrate in a SEPARATE process (the production PTQ
+        # split, measure_throughput scales_out/scales_in): the measurement
+        # process then compiles only its two programs, same process shape
+        # as the bf16 rows. The fused calibrate-then-measure process
+        # RESOURCE_EXHAUSTED the 16 GB chip at every batch (2026-08-19).
+        scales = os.path.join(tempfile.gettempdir(),
+                              f'hqt_scales_{name}.pkl')
+        cal = base + [f'batch_size={min(batch, 256)}',
+                      f'serving={serving}', f'scales_out={scales}']
+        tc = time.time()
+        try:
+            pc = subprocess.run(cal, cwd=REPO, capture_output=True,
+                                text=True, timeout=row_timeout)
+        except subprocess.TimeoutExpired as e:
+            _write_row_log(f'{name}.cal.timeout', e.output, e.stderr)
+            return {'model': name, 'config': config, 'batch': batch,
+                    'error': 'calibration timeout',
+                    'detail': f'calibration exceeded {row_timeout}s'}
+        cal_wall = round(time.time() - tc, 1)
+        _write_row_log(f'{name}.cal', pc.stdout, pc.stderr)
+        if pc.returncode != 0 or not os.path.exists(scales):
+            return {'model': name, 'config': config, 'batch': batch,
+                    'error': f'calibration rc={pc.returncode}',
+                    'detail': (pc.stderr or pc.stdout)[-500:]}
+        _scales = scales
+    argv = base + [f'batch_size={batch}', f'n_loop={n_loop}',
+                   f'samples_per_loop={samples_per_loop}',
+                   f'serving={serving}']
+    if _scales:
+        argv.append(f'scales_in={_scales}')
     t0 = time.time()
     # inner timeout deliberately below the queue's shell timeout so a hung
     # row is reaped HERE (partial PERF.json still written) rather than the
@@ -92,48 +132,33 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
     # tighter shell `timeout` MUST set BENCH_ROW_TIMEOUT_S below it, or the
     # reap order inverts and the TPU child is killed mid-run (lease-wedge
     # risk per CLAUDE.md).
-    row_timeout = float(os.environ.get('BENCH_ROW_TIMEOUT_S', '3300'))
     try:
         p = subprocess.run(argv, cwd=REPO, capture_output=True, text=True,
                            timeout=row_timeout)
     except subprocess.TimeoutExpired as e:
-        log_dir = os.environ.get('BENCH_ROW_LOG_DIR')
-        if log_dir:
-            os.makedirs(log_dir, exist_ok=True)
-            def _s(x):
-                return x.decode(errors='replace') if isinstance(x, bytes) \
-                    else (x or '')
-            with open(os.path.join(log_dir,
-                                   f'{name}.bs{batch}.timeout.log'),
-                      'w') as f:
-                f.write(_s(e.output))
-                f.write('\n--- stderr ---\n')
-                f.write(_s(e.stderr))
+        _write_row_log(f'{name}.bs{batch}.timeout', e.output, e.stderr)
         return {'model': name, 'config': config, 'batch': batch,
                 'error': 'timeout', 'detail': f'row exceeded {row_timeout}s'}
-    log_dir = os.environ.get('BENCH_ROW_LOG_DIR')
-    if log_dir:
-        # full row stdout+stderr for post-mortem (the PERF.json detail
-        # field keeps only the last 500 chars); batch-qualified so OOM-retry
-        # attempts don't overwrite each other
-        os.makedirs(log_dir, exist_ok=True)
-        with open(os.path.join(log_dir, f'{name}.bs{batch}.full.log'),
-                  'w') as f:
-            f.write(p.stdout)
-            f.write('\n--- stderr ---\n')
-            f.write(p.stderr)
+    # full row stdout+stderr for post-mortem (the PERF.json detail field
+    # keeps only the last 500 chars); batch-qualified so OOM-retry attempts
+    # don't overwrite each other
+    _write_row_log(f'{name}.bs{batch}.full', p.stdout, p.stderr)
     if (p.returncode != 0 and _tries > 0 and batch >= 64
             and any(m in (p.stderr or '') + (p.stdout or '')
                     for m in OOM_MARKERS)):
         # HBM OOM: the table must carry numbers, not rc=1 rows — retry at
         # half the batch (ms/sample at TPU-serving batches is flat within
-        # a few % over a 2x batch range; the row records the batch used)
+        # a few % over a 2x batch range; the row records the batch used).
+        # The scales artifact is batch-independent — reuse it.
         print(f'[{name}] OOM at bs{batch}; retrying at bs{batch // 2}',
               flush=True)
         row = run_row(name, config, batch // 2, cond, code_levels,
-                      samples_per_loop, n_loop, serving, _tries - 1)
+                      samples_per_loop, n_loop, serving, _tries - 1,
+                      _scales=_scales)
         if 'error' not in row:
             row['batch_retried_from'] = batch
+            if cal_wall is not None:
+                row['cal_wall_s'] = cal_wall
         return row
     if p.returncode != 0:
         return {'model': name, 'config': config, 'batch': batch,
@@ -152,6 +177,10 @@ def run_row(name, config, batch, cond, code_levels, samples_per_loop,
            'ar_ms': float(m.group(3)), 'decode_ms': float(m.group(4)),
            'samples_per_sec': round(1000.0 / ms, 1),
            'wall_s': round(time.time() - t0, 1)}
+    if _scales:
+        row['calibration'] = 'separate-process scales artifact (scales_in)'
+    if cal_wall is not None:
+        row['cal_wall_s'] = cal_wall
     return row
 
 

@@ -27,6 +27,7 @@ class _P:
 
 def test_oom_retries_at_half_batch(monkeypatch):
     bf = _load()
+    monkeypatch.setenv('BENCH_INT8_TWO_PROC', '0')  # retry logic only
     calls = []
 
     def fake_run(argv, **kw):
@@ -43,6 +44,55 @@ def test_oom_retries_at_half_batch(monkeypatch):
     assert calls == [1536, 768]
     assert row['batch'] == 768 and row['batch_retried_from'] == 1536
     assert row['ms_per_sample'] == 2.5 and 'error' not in row
+
+
+def test_int8_two_process_calibration(monkeypatch, tmp_path):
+    """int8 rows calibrate in a separate scales_out process, then measure
+    with scales_in; an OOM retry reuses the artifact without recalibrating
+    (the fused one-process form RESOURCE_EXHAUSTED the chip at every
+    batch; measure_throughput.py scales_in docstring)."""
+    bf = _load()
+    monkeypatch.setenv('TMPDIR', str(tmp_path))
+    import tempfile
+    monkeypatch.setattr(bf.tempfile, 'gettempdir', lambda: str(tmp_path))
+    calls = []
+
+    def fake_run(argv, **kw):
+        args = {a.split('=')[0]: a.split('=', 1)[1]
+                for a in argv if '=' in a}
+        bs = int(args['batch_size'])
+        if 'scales_out' in args:
+            calls.append(('cal', bs))
+            with open(args['scales_out'], 'wb') as f:
+                f.write(b'stub')
+            return _P(0, f'wrote serving scales: {args["scales_out"]}')
+        assert 'scales_in' in args and os.path.exists(args['scales_in'])
+        calls.append(('measure', bs))
+        if bs > 1000:
+            return _P(1, '', 'RESOURCE_EXHAUSTED: TPU backend error')
+        return _P(0, f'bs{bs} | 2.5000 ms/sample '
+                     '(ar: 1.2000, decode: 1.3000)')
+
+    monkeypatch.setattr(bf.subprocess, 'run', fake_run)
+    row = bf.run_row('r', 'cfg.yaml', 1536, 'cls', 2, 1000, 4, 'int8max')
+    # ONE calibration (at the capped cal batch), then measurement attempts
+    assert calls == [('cal', 256), ('measure', 1536), ('measure', 768)]
+    assert row['batch'] == 768 and 'error' not in row
+    assert row['calibration'].startswith('separate-process')
+    assert 'cal_wall_s' in row
+
+
+def test_int8_calibration_failure_is_reported(monkeypatch, tmp_path):
+    bf = _load()
+    monkeypatch.setattr(bf.tempfile, 'gettempdir', lambda: str(tmp_path))
+
+    def fake_run(argv, **kw):
+        return _P(1, '', 'Boom: calibration failed')
+
+    monkeypatch.setattr(bf.subprocess, 'run', fake_run)
+    row = bf.run_row('r', 'cfg.yaml', 512, 'cls', 2, 1000, 4, 'int8')
+    assert row['error'] == 'calibration rc=1'
+    assert 'Boom' in row['detail']
 
 
 def test_oom_gives_up_after_two_retries(monkeypatch):

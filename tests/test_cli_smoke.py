@@ -117,6 +117,20 @@ def test_measure_throughput_smoke(tmp_path):
               'samples_per_loop=8', 'dtype=float32', 'cond=txt'])
     assert 'ms/sample' in p.stdout and 'bs4 |' in p.stdout
 
+    # int8max serving via the two-process PTQ split (scales_out ->
+    # scales_in) — the exact form the TPU family rows run (bench_family):
+    # calibration and measurement never share a process
+    scales = tmp_path / 'scales.pkl'
+    p = _run(['measure_throughput.py', f'model_path={TINY2}',
+              'batch_size=4', 'top_resolution=4', 'serving=int8max',
+              f'scales_out={scales}'])
+    assert scales.exists() and 'wrote serving scales' in p.stdout
+    p = _run(['measure_throughput.py', f'model_path={TINY2}',
+              'batch_size=4', 'n_loop=2', 'warmup=1', 'top_resolution=4',
+              'samples_per_loop=8', 'serving=int8max',
+              f'scales_in={scales}'])
+    assert 'ms/sample' in p.stdout and 'bs4 |' in p.stdout
+
 
 @slow
 def test_main_stage2_smoke(tmp_path, image_root):
