@@ -239,26 +239,45 @@ class TwoStageModel:
         return logits, (ct, cb), softs
 
     # ----------------------------------------------------- int8 calibration
-    def calibrate_int8_decode(self, variables: Dict, *decode_args) -> Dict:
+    def calibrate_int8_decode(self, variables: Dict, *decode_args,
+                              chunk: int = 128) -> Dict:
         """Static (calibrated) quantization scales for the opt-in A8W8
-        serving decode: runs `decode_code` once on a representative code
-        batch, recording every conv's input absmax, and returns `variables`
-        with the stage-1 tree extended by the 'act_scales' collection.
-        With scales present, QuantizableConv skips the per-call dynamic
-        max reduction — the overhead that limited dynamic A8W8 to ~1.07x
+        serving decode: runs `decode_code` on a representative code batch,
+        recording every conv's input absmax, and returns `variables` with
+        the stage-1 tree extended by the 'act_scales' collection. With
+        scales present, QuantizableConv skips the per-call dynamic max
+        reduction — the overhead that limited dynamic A8W8 to ~1.07x
         end-to-end. Standard post-training quantization: activations
         outside the calibrated range saturate at +-127. Call repeatedly
         and merge with `jax.tree.map(jnp.maximum, a, b)` to widen ranges
         over several batches. No reference analogue (its decode runs fp16
-        autocast, `hierarchical_ar.py:445`)."""
+        autocast, `hierarchical_ar.py:445`).
+
+        The decode runs in `chunk`-sample slices with a FORCED fetch per
+        slice, chunk scales merged by `maximum` (exact: scale is monotone
+        in absmax). Unchunked, a 256-sample calibration decode holds ~8 GB
+        of 256^2 conv activations — the RESOURCE_EXHAUSTED behind the int8
+        family-row calibration on the 16 GB chip; the serving decode
+        itself chunks at 128 for the same reason (_decode_chunked). The
+        per-slice fetch also keeps this backend's ASYNC dispatch from
+        queueing every slice's full decode before any buffer releases."""
         from .stage1.layers import (int8_calibration_scope,
                                     int8_scales_from_calib)
-        with int8_calibration_scope():
-            _, col = self.stage1.apply(
-                variables['stage1'], *decode_args,
-                method=type(self.stage1).decode_code,
-                mutable=['int8_calib'])
-        scales = int8_scales_from_calib(col['int8_calib'])
+        B = jax.tree.leaves(list(decode_args))[0].shape[0]
+        scales = None
+        for i in range(0, B, chunk):
+            sl = jax.tree.map(lambda a: a[i:i + chunk], list(decode_args))
+            with int8_calibration_scope():
+                _, col = self.stage1.apply(
+                    variables['stage1'], *sl,
+                    method=type(self.stage1).decode_code,
+                    mutable=['int8_calib'])
+            s = int8_scales_from_calib(col['int8_calib'])
+            # scalar fetch: block_until_ready returns early on tunneled
+            # backends (axon), only a host fetch guarantees completion
+            float(jnp.sum(jax.tree.leaves(s)[0].astype(jnp.float32)))
+            scales = s if scales is None else jax.tree.map(jnp.maximum,
+                                                           scales, s)
         return {**variables,
                 'stage1': {**variables['stage1'], 'act_scales': scales}}
 
@@ -281,6 +300,10 @@ class TwoStageModel:
             _, col = self.stage2.apply(variables['stage2'], *forward_args,
                                        mutable=['int8_calib'])
         scales = int8_scales_from_calib(col['int8_calib'])
+        # force execution NOW (scalar fetch; see calibrate_int8_decode):
+        # async dispatch otherwise stacks this training forward's full
+        # per-level logits on top of the next stage's programs
+        float(jnp.sum(jax.tree.leaves(scales)[0].astype(jnp.float32)))
         return {**variables,
                 'stage2': {**variables['stage2'], 'act_scales': scales}}
 
@@ -324,6 +347,10 @@ class TwoStageModel:
             return jnp.maximum(m, 1e-6) / 127.0 * margin   # [L, D]
 
         ks, vs = channel_absmax(kc), channel_absmax(vc)
+        # force execution NOW (scalar fetch; see calibrate_int8_decode):
+        # releases the full returned KV caches before the caller queues
+        # the next calibration program on this async-dispatch backend
+        float(jnp.sum(ks[0, :1]) + jnp.sum(vs[0, :1]))
         n_layers = self.stage2.hparams.n_layers
         scales = {f'blocks_{i}': {'attn': {'k': ks[i], 'v': vs[i]}}
                   for i in range(n_layers)}

@@ -76,6 +76,10 @@ def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
     if a['code_levels'] == 2:
         _, (ct0, cb0) = model.make_pixel_sampler(max_seq_len=Ttop)(
             variables, jax.random.PRNGKey(3), cal_labels)
+        # scalar fetch: force this e2e program NOW so its buffers release
+        # before the decode-calibration queues (async dispatch; see
+        # twostage.calibrate_int8_decode)
+        float(jnp.sum(ct0[:1, :1]))
         from hqtransformer_tpu.models.stage2.hierarchical import \
             cells_to_raster
         r = tr * model.cell_win
@@ -94,6 +98,7 @@ def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
         _, (t0_, m0_, b0_) = model.make_pixel_sampler_multilevel(
             max_seq_len=Ttop)(variables, jax.random.PRNGKey(3),
                               cal_labels)
+        float(jnp.sum(t0_[:1, :1]))  # force (async dispatch; see above)
         from hqtransformer_tpu.models.stage2.multilevel import \
             cells_to_level
         mid_map = cells_to_level(m0_, tr, 2)    # [B, (2tr 2tr)] raster

@@ -208,3 +208,23 @@ def test_int8_static_scales_decode(tiny_model):
     finally:
         del os.environ['HQT_INT8_DECODE']
     assert not np.array_equal(static_bad, static)
+
+
+def test_int8_decode_calibration_chunking(tiny_model):
+    """Chunked calibration (chunk < B) yields the SAME scales as a single
+    pass: scale = absmax/127 is monotone, chunks merge by maximum. The
+    chunking exists because an unchunked 256-sample calibration decode
+    holds ~8 GB of 256^2 conv activations — the RESOURCE_EXHAUSTED behind
+    the int8 family-row calibration (twostage.calibrate_int8_decode)."""
+    model, variables = tiny_model
+    cfg = build_twostage_config(TINY_CFG)
+    bf16_model = TwoStageModel(cfg, dtype=jnp.bfloat16)
+    ct = jax.random.randint(jax.random.PRNGKey(7), (5, 8, 8), 0, 256)
+    cb = jax.random.randint(jax.random.PRNGKey(8), (5, 16, 16), 0, 256)
+    one = bf16_model.calibrate_int8_decode(variables, ct, cb, chunk=8)
+    split = bf16_model.calibrate_int8_decode(variables, ct, cb, chunk=2)
+    a = jax.tree.leaves(one['stage1']['act_scales'])
+    b = jax.tree.leaves(split['stage1']['act_scales'])
+    assert a and len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
