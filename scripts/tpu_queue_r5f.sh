@@ -47,7 +47,9 @@ done
 echo "r5e drained ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/queue.log"
 
 export BENCH_LEASE_WAIT=1
-export BENCH_ROW_TIMEOUT_S=2400
+# 3600, not 2400: the l24 calibration process (870M params, two full
+# sampler compiles) exceeded 2400s and was reaped mid-run (r5e)
+export BENCH_ROW_TIMEOUT_S=3600
 export BENCH_ROW_LOG_DIR="$OUT/rowlogs"
 
 REPAIR=$(python - <<'EOF'
