@@ -64,6 +64,10 @@ def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
     the depth-chain and spatial gemms): one representative sampling pass +
     absmax collection passes. Returns `variables` extended with the scale
     collections (docs/serving.md)."""
+    def mark(stage):
+        print(f'[cal +{time.perf_counter() - t0:.0f}s] {stage}', flush=True)
+
+    t0 = time.perf_counter()
     if a['cond'] == 'txt':
         cal_labels = jnp.zeros(
             (min(bs, 256), cfg.stage2.hparams.ctx_len_txt), jnp.int32)
@@ -71,6 +75,7 @@ def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
         cal_labels = jnp.zeros((min(bs, 256),), jnp.int32)
     variables = model.calibrate_kv_scales(
         variables, jax.random.PRNGKey(2), cal_labels, max_seq_len=Ttop)
+    mark('kv scales done')
     os.environ['HQT_INT8_DECODE'] = '1'
     tr = model.top_res
     if a['code_levels'] == 2:
@@ -80,6 +85,7 @@ def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
         # before the decode-calibration queues (async dispatch; see
         # twostage.calibrate_int8_decode)
         float(jnp.sum(ct0[:1, :1]))
+        mark('calibration sampler done')
         from hqtransformer_tpu.models.stage2.hierarchical import \
             cells_to_raster
         r = tr * model.cell_win
@@ -99,6 +105,7 @@ def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
             max_seq_len=Ttop)(variables, jax.random.PRNGKey(3),
                               cal_labels)
         float(jnp.sum(t0_[:1, :1]))  # force (async dispatch; see above)
+        mark('calibration sampler done')
         from hqtransformer_tpu.models.stage2.multilevel import \
             cells_to_level
         mid_map = cells_to_level(m0_, tr, 2)    # [B, (2tr 2tr)] raster
@@ -110,12 +117,14 @@ def _calibrate_int8(a, model, cfg, variables, bs, Ttop):
         nc = min(32, t0_.shape[0])
         forward_codes = ([t0_[:nc], mid_map[:nc], bot_map[:nc]],
                          cal_labels[:nc])
+    mark('decode scales done')
     if a['serving'] == 'int8max':
         # + A8W8 depth-chain and spatial transformer gemms (calibrated
         # static scales; quality table in docs/serving.md)
         os.environ['HQT_INT8_STAGE2'] = '1'
         os.environ['HQT_INT8_SPATIAL'] = '1'
         variables = model.calibrate_stage2_int8(variables, *forward_codes)
+        mark('stage2 gemm scales done')
     return variables
 
 
